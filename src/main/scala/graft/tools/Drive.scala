@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.dict.Gazetteer
+import graft.merge.{Merge, RulesMerging}
+import graft.model.{Mention, Ontology}
+import graft.ner.{CrfScorer, Ensembles, Spans}
+
+/** Manual end-to-end drive of the row-local KG ops through a real
+  * SparkSession: sentences → broadcast-trie tokenize → 4 CRF-style scorers →
+  * union/vote/majority ensembles → NER∪dict merge → rule rounds → rule-merged
+  * entity rows. Run with `sbt "runMain graft.tools.Drive"`.
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dict = Map(
+      "高血压" -> "ds", "呼吸困难" -> "sm", "阿司匹林" -> "du",
+      "胸部X线" -> "ts", "心脏" -> "og", "手术" -> "sr", "肺淤血" -> "sm",
+      "慢性心力衰竭" -> "ds", "冠心病" -> "ds"
+    )
+    val sentences = Seq(
+      "慢性心力衰竭常见症状为呼吸困难，由肺淤血所致。",
+      "冠心病患者可服阿司匹林，必要时行心脏手术治疗。",
+      "高血压者建议胸部X线检查。"
+    )
+
+    val trieB = spark.sparkContext.broadcast(Gazetteer.buildTrie(dict))
+    val weightsB = spark.sparkContext.broadcast(
+      Ontology.models.map(m =>
+        m -> Ontology.essentialTypes.map(_ -> 0.25).toMap).toMap)
+
+    val ds = spark.createDataset(sentences.zipWithIndex)
+    val annotated = ds.mapPartitions { it =>
+      val trie = trieB.value
+      val scorers = CrfScorer.productionScorers(trie)
+      it.map { case (sent, i) =>
+        val seg = Gazetteer.tokenize(trie, sent)
+        val pred = scorers.map(sc => sc.model -> sc.predict(sent)).toMap
+        val ens = Ensembles.run(pred, weightsB.value)
+        val mentions = Spans.normalize(
+          ens.boundaries.zip(ens.types).map { case ((s, e), t) =>
+            Mention(sent.substring(s, math.min(e, sent.length)), t, s, e, 0, 0)
+          })
+        val segU = Merge.mergeNerSeg(
+          seg.map(t => t.copy(tag = Ontology.jiebaReverse.getOrElse(t.tag, t.tag))),
+          mentions)
+        val merged = Merge.round2(sent, Merge.round1(sent, segU),
+          Map("手术" -> "SUR", "检查" -> "TES"))
+        val rules = RulesMerging.entityRows(i.toLong, sent, merged,
+          mentions.map(m => RulesMerging.SpanProb(m.word, m.start, m.end, 0.8)),
+          Nil)
+        (sent, mentions.map(m => s"${m.word}/${m.tpe}@${m.start}-${m.end}"),
+          merged.filter(t => Ontology.essentialTypes.contains(t.tag))
+            .map(t => s"${t.word}/${t.tag}"),
+          rules.map(r => f"${r.entName}/${r.entType}@${r.prob}%.3f"))
+      }
+    }
+
+    annotated.collect().foreach { case (sent, ments, merged, rules) =>
+      println(s"SENT: $sent")
+      println(s"  ensemble_strong: ${ments.mkString(", ")}")
+      println(s"  merged entities: ${merged.mkString(", ")}")
+      println(s"  rules_merging  : ${rules.mkString(", ")}")
+    }
+    spark.stop()
+  }
+}

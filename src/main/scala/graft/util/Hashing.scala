@@ -1,0 +1,34 @@
+package graft.util
+
+/** Deterministic 64-bit hashing used everywhere randomness-like behavior is
+  * needed (scorer weights, dropout decisions, synthetic corpus): FNV-1a over
+  * UTF-16 code units. No wall-clock, no JVM-version dependence — required for
+  * checkpoint-resume determinism (SURVEY.md §4.5) and stable ids at scale
+  * (replaces the reference's positional reindex, clean_and_save.py:1078-1080).
+  */
+object Hashing {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a64(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h ^= (c & 0xff); h *= FnvPrime
+      h ^= ((c >> 8) & 0xff); h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(parts: String*): Long = fnv1a64(parts.mkString(""))
+
+  /** Hash → [0, 1). */
+  def unit(h: Long): Double = ((h >>> 11).toDouble / (1L << 53).toDouble)
+
+  def unit(parts: String*): Double = unit(fnv1a64(parts: _*))
+
+  /** Non-negative 63-bit id (for `ind` etc.). */
+  def id63(parts: String*): Long = fnv1a64(parts: _*) & Long.MaxValue
+}
