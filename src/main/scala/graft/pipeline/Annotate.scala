@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.dict.{Gazetteer, Trie}
+import graft.merge.{Merge, RulesMerging}
+import graft.model._
+import graft.ner._
+
+/** The per-sentence annotation super-stage: gazetteer seg → 4 CRF-style
+  * scorers → ensembles → confidence → boundary strip → NER∪dict merge →
+  * rule rounds → rules-merging rows.
+  *
+  * This fuses reference stages pre_labeling → EnsemblePredict_all →
+  * clean_and_save STEP 2-6.1 into ONE narrow Spark stage: every operation is
+  * a pure function of a single sentence plus broadcast state (trie, weights,
+  * eval matrix). The reference runs these as 3 separate processes exchanging
+  * JSON files and an O(N·M) pandas filter-in-a-loop join
+  * (clean_and_save.py:648-649); here the sentence never leaves the executor —
+  * at 100 TB this is the throughput-critical path and it has NO shuffle.
+  */
+object Annotate {
+
+  /** Everything produced from one sentence. `entities` carries dict rows,
+    * per-model rows, stripped ensemble_strong rows and rules_merging rows —
+    * the union that clean_and_save assembles as all_entities (:1077-1085).
+    */
+  final case class SentenceArtifacts(
+      row: AnnotatedSentence,
+      entities: Seq[EntityRow]
+  )
+
+  def annotate(
+      sentences: Dataset[SentenceRow],
+      trieB: Broadcast[Trie],
+      weightsB: Broadcast[Map[String, Map[String, Double]]],
+      evalB: Broadcast[Map[String, Map[String, Map[String, Array[Double]]]]],
+      refinedB: Broadcast[Set[String]],
+      suffixB: Broadcast[Map[String, String]]
+  )(implicit spark: SparkSession): Dataset[SentenceArtifacts] = {
+    import spark.implicits._
+    sentences.mapPartitions { it =>
+      val trie = trieB.value
+      val scorers = CrfScorer.productionScorers(trie)
+      val weights = weightsB.value
+      val eval = evalB.value
+      val refined = refinedB.value
+      val suffixDict = suffixB.value
+      val numModels = scorers.size
+      it.map { sr =>
+        annotateOne(sr, trie, scorers, weights, eval, refined, suffixDict,
+          numModels)
+      }
+    }
+  }
+
+  /** Pure per-sentence function (unit-testable without Spark). */
+  def annotateOne(
+      sr: SentenceRow,
+      trie: Trie,
+      scorers: Seq[CrfScorer],
+      weights: Map[String, Map[String, Double]],
+      eval: Map[String, Map[String, Map[String, Array[Double]]]],
+      refined: Set[String],
+      suffixDict: Map[String, String],
+      numModels: Int
+  ): SentenceArtifacts = {
+    val sent = sr.sentence
+    val dsEval = eval.getOrElse(sr.source, eval("m"))
+
+    // STEP A: gazetteer seg (pre_labeling.py:88-96) with uppercase types
+    // (clean_and_save.py:461-463: reverse_mapping.get(flag, "x"))
+    val segRaw = Gazetteer.tokenize(trie, sent)
+    val seg = segRaw.map { t =>
+      t.copy(tag = Ontology.jiebaReverse.getOrElse(t.tag, "x"))
+    }
+
+    // dict-match entity rows (clean_and_save.py:471-506): refined 0.95 / 0.9
+    val dictRows = seg.filter(_.tag != "x").map { t =>
+      val (prob, model) =
+        if (refined.contains(t.word)) (0.95, "refined_dictionary")
+        else (0.9, "other_dictionary")
+      EntityRow(sr.ind, model, t.word, t.tag, t.start, t.end,
+        prob, prob, prob, prob)
+    }
+
+    // STEP B: 4 scorers + ensembles (EnsemblePredict_all.py:226-395)
+    val pred = scorers.map(sc => sc.model -> sc.predict(sent)).toMap
+    val ens = Ensembles.run(pred, weights)
+
+    // ensemble mentions for the merge path (:391-395), normalized spans
+    val ensembleMentions = Spans.normalize(
+      ens.boundaries.zip(ens.types).map { case ((s, e), t) =>
+        val e2 = math.min(e, sent.length)
+        Mention(sent.substring(s, e2), t, s, e2, 0.0, 0.0)
+      })
+
+    // STEP C: per-model + ensemble_strong confidence rows (:500-552)
+    val spanModels = ens.boundaries.zip(ens.models).toMap
+    val modelRows = scorers.flatMap { sc =>
+      Confidence.entityRows(sr.ind, sc.model, pred(sc.model).toSeq, sent,
+        dsEval, numModels)
+    }
+    val strongRows = Confidence.entityRows(sr.ind, "ensemble_strong",
+      ens.strong.toSeq, sent, dsEval, numModels, spanModels)
+
+    // STEP D: boundary strip, ensemble_strong only (clean_and_save.py:522-544)
+    val strippedStrong = strongRows.map { r =>
+      val (w, s, e) = Boundary.strip(r.entName, r.start, r.end)
+      r.copy(entName = w, start = s, end = e)
+    }
+
+    // STEP E: NER∪dict merge + rule rounds (clean_and_save.py:600-616)
+    val merged = Merge.round2(sent,
+      Merge.round1(sent, Merge.mergeNerSeg(seg, ensembleMentions)),
+      suffixDict)
+
+    // STEP F: rules_merging confidence rows (clean_and_save.py:622-707);
+    // prob_seq uses the STRIPPED ensemble rows' prob_strict (:624-625, 652)
+    val rulesRows = RulesMerging.entityRows(sr.ind, sent, merged,
+      strippedStrong.filter(_.entName.nonEmpty)
+        .map(r => RulesMerging.SpanProb(r.entName, r.start, r.end, r.prob)),
+      dictRows.map(r => RulesMerging.SpanProb(r.entName, r.start, r.end, r.prob)))
+
+    val row = AnnotatedSentence(sr.url, sr.book, sr.location, sr.paragraph,
+      sent, sr.entity1, sr.entity1Type, sr.source, sr.ind, merged,
+      ensembleMentions)
+    SentenceArtifacts(row,
+      dictRows ++ modelRows ++ strippedStrong ++ rulesRows)
+  }
+}

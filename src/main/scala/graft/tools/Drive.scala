@@ -71,6 +71,18 @@ object Drive {
       println(s"  merged entities: ${merged.mkString(", ")}")
       println(s"  rules_merging  : ${rules.mkString(", ")}")
     }
+
+    // full pipeline: synthetic pages → triples
+    val nPages = if (args.nonEmpty) args(0).toLong else 20L
+    val triples = graft.pipeline.Pipeline.triples(spark, nPages, 4)
+    val collected = triples.collect()
+    println(s"PIPELINE: ${collected.length} triples from $nPages pages")
+    collected.take(8).foreach { t =>
+      println(s"  (${t.subj}/${t.subjType}) -[${t.pred}]-> (${t.obj}/${t.objType}) p=${f"${t.prob}%.3f"} ind=${t.ind}")
+    }
+    val gts = graft.pipeline.Pipeline.groupTriples(spark, 12).collect()
+    println(s"GROUP TABOO: ${gts.length} triples")
+    gts.take(4).foreach(g => println(s"  (${g.entity1}) -[${g.relation}]-> (${g.entity2})"))
     spark.stop()
   }
 }
