@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.canon.{Canon, Materialize}
+import graft.corpus.Corpus
+import graft.link.Link
+import graft.model.Ontology
+import graft.pipeline.{Pipeline, Triples}
+import graft.snapshot.Snapshot
+
+/** The spark-submit entry point: full KG construction with snapshot-gated
+  * resume.
+  *
+  * Usage: KgRunner <outDir> [nPages] [parallelism]
+  *
+  * Stages (each a committed snapshot; re-running skips completed ones):
+  *   1. triples         — pages → extract → annotate → triples (narrow)
+  *   2. mention_tokens  — (surface, entType, token) context table (narrow)
+  *   3. links           — trie candidates + TF-IDF cosine (agg shuffles)
+  *   4. canon           — connected components over alias edges (iterative)
+  *   5. nodes / edges   — canonicalized graph, partitioned entType × bucket
+  *   6. group_triples   — drug-group taboo path
+  *
+  * Kill it at any point and re-run with the same outDir: completed snapshots
+  * are skipped (manifest-gated), and because every id is a content hash the
+  * resumed run commits byte-identical results.
+  */
+object KgRunner {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_kg"
+    val nPages = if (args.length > 1) args(1).toLong else 200L
+    val par = if (args.length > 2) args(2).toInt else
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$par]"))
+      .appName("graft-kg")
+      .config("spark.sql.shuffle.partitions", par.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    run(spark, outDir, nPages, par)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val triples = spark.read.parquet(s"$outDir/edges").count()
+    println(f"""{"stage":"kg_complete","triples":$triples,"sec":$secs%.2f,"triples_per_sec":${triples / secs}%.1f}""")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, outDir: String, nPages: Long, par: Int): Unit = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    // artifacts are computed at most once per run, only if some downstream
+    // snapshot is missing
+    lazy val arts = {
+      val a = Pipeline.artifacts(Corpus.pages(spark, nPages, par))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      a
+    }
+
+    val triples = Snapshot.stage(spark, s"$outDir/triples", "triples") {
+      Triples.fromArtifacts(arts).toDF()
+    }
+
+    val mentionTokens =
+      Snapshot.stage(spark, s"$outDir/mention_tokens", "mention_tokens",
+        parent = "triples") {
+        Link.mentionTokens(arts)
+      }
+
+    val b = Pipeline.broadcasts(spark)
+    val links = Snapshot.stage(spark, s"$outDir/links", "links",
+      parent = "mention_tokens") {
+      Link.linkTableFromTokens(mentionTokens, b.trie, Ontology.jiebaReverse)
+    }
+
+    val canonMap = Snapshot.stage(spark, s"$outDir/canon", "canon",
+      parent = "links") {
+      val allSurfaces = triples
+        .select($"obj".as("surface"), $"objType".as("entType"))
+        .union(triples.select($"subj".as("surface"), $"subjType".as("entType")))
+        .distinct()
+      Canon.canonicalize(allSurfaces, Link.aliasEdges(links))
+    }
+
+    Snapshot.stage(spark, s"$outDir/nodes", "nodes",
+      partitionBy = Seq("entType", "bucket"), parent = "canon") {
+      Materialize.nodes(triples.as[graft.model.Triple], canonMap)
+    }
+    Snapshot.stage(spark, s"$outDir/edges", "edges",
+      partitionBy = Seq("objType", "bucket"), parent = "canon") {
+      Materialize.edges(triples.as[graft.model.Triple], canonMap)
+    }
+    Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
+      Pipeline.groupTriples(spark).toDF()
+    }
+  }
+}

@@ -1,13 +1,212 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — oracle-checked operator surface (SURVEY.md §2) plus the
+  * KG pipeline itself as rows-only entries.
+  *
+  * Numeric outputs avoid float accumulation entirely (money → cents as
+  * BIGINT) so Spark and DuckDB hash identically regardless of summation
+  * order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** Flagship: KG triples from the synthetic corpus (driver smoke-checks
+    * rows > 0 on sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.pipeline.Pipeline.triples(spark, 20, 4).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1/A4-family aggregation (classic pricing summary) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+    }),
+    // ---- J1: large-large equi-join (sort-merge) + agg ----
+    "j1_join_lineage" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+    // ---- J2/J3: broadcast-hash join through two small dims ----
+    "j2_broadcast_dim" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+    }),
+    // ---- A1: per-group latest value (group + argmax by recency) ----
+    "a1_group_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          cents(col("o_totalprice")).as("latest_price_cents"))
+    }),
+    // ---- A3: max-prob dedup (argmax per key with tie-break) ----
+    "a3_argmax_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice")).as("max_price_cents"),
+          col("l_linenumber"))
+    }),
+    // ---- A4: frequency count ----
+    "a4_freq_count" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // ---- A5: weight normalization (per-group share, integer basis points) --
+    "a5_weight_norm" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .withColumn("bal_cents", cents(col("s_acctbal")))
+      val w = Window.partitionBy(col("s_nationkey"))
+      sup.withColumn("nation_total", sum(col("bal_cents")).over(w))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          expr("(bal_cents * 10000) div nation_total").as("weight_bp"))
+    }),
+    // ---- A12: head-id assignment (dense rank over group keys) ----
+    "a12_head_id" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .withColumn("head_id",
+          dense_rank().over(Window.orderBy(col("c_mktsegment"))))
+    }),
+    // ---- W1: global reindex ----
+    "w1_reindex" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_name"),
+          row_number().over(Window.orderBy(col("n_name"))).as("rn"))
+    }),
+    // ---- U1/A2: union + distinct ----
+    "u1_union_dedup" -> ((s, dir) => {
+      t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        .union(t(s, dir, "customer")
+          .select(col("c_nationkey").as("nationkey")))
+        .distinct()
+    }),
+    "a2_dedupe" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"))
+        .dropDuplicates()
+    }),
+    // ---- P13: null/length guards ----
+    "p13_filter_guards" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 200 && col("text").isNotNull)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+    // ---- training-data ops: exact dedup by content hash ----
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // ---- training-data ops: token counting ----
+    "tq_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(col("text"), " "),
+            x => length(x) > 3)).as("tokens"))
+        .groupBy(col("source"))
+        .agg(sum(col("tokens")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
+    // ---- KG pipeline entries (no SQL oracle: rows-only checks) ----
+    "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
+    "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF())
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "j1_join_lineage" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "j2_broadcast_dim" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "a1_group_latest" ->
+      """SELECT o_custkey,
+        | CAST(round(o_totalprice*100,0) AS BIGINT) AS latest_price_cents
+        |FROM (SELECT o_custkey, o_totalprice, row_number() OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)
+        |  AS rn FROM orders) WHERE rn = 1""".stripMargin,
+    "a3_argmax_dedup" ->
+      """SELECT l_orderkey,
+        | CAST(round(l_extendedprice*100,0) AS BIGINT) AS max_price_cents,
+        | l_linenumber
+        |FROM (SELECT l_orderkey, l_extendedprice, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "a4_freq_count" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "a5_weight_norm" ->
+      """SELECT s_suppkey, s_nationkey,
+        | CAST((bal_cents * 10000) // nation_total AS BIGINT) AS weight_bp
+        |FROM (SELECT s_suppkey, s_nationkey,
+        |  CAST(round(s_acctbal*100,0) AS BIGINT) AS bal_cents,
+        |  sum(CAST(round(s_acctbal*100,0) AS BIGINT)) OVER
+        |    (PARTITION BY s_nationkey) AS nation_total
+        |  FROM supplier)""".stripMargin,
+    "a12_head_id" ->
+      """SELECT c_mktsegment, CAST(dense_rank() OVER (ORDER BY c_mktsegment)
+        | AS INT) AS head_id
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer)""".stripMargin,
+    "w1_reindex" ->
+      """SELECT n_name, CAST(row_number() OVER (ORDER BY n_name) AS INT) AS rn
+        |FROM nation""".stripMargin,
+    "u1_union_dedup" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT s_nationkey AS nationkey FROM supplier
+        | UNION ALL SELECT c_nationkey AS nationkey FROM customer)""".stripMargin,
+    "a2_dedupe" ->
+      "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    "p13_filter_guards" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY md5(text)",
+    "tq_token_count" ->
+      """SELECT source,
+        | CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 3)))
+        |   AS BIGINT) AS total_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin
+  )
 }

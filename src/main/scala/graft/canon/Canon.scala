@@ -1,0 +1,106 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected-components canonicalization (north star: "salted
+  * connected-components pass, GraphFrames-style iterative joins over
+  * DataFrames, with explicit skew handling").
+  *
+  * Reference analog: head_id grouping (clean_and_save.py:1174-1180) assigns
+  * one id per identical (head, predicate, catalog, source) group — i.e. CC of
+  * the identity graph. We generalize to alias edges so surface variants
+  * (boundary-jittered mentions, suffix-merged forms) collapse onto one
+  * canonical node.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SOCC'14) expressed as DataFrame
+  * self-joins:
+  *   large-star: for each edge (u,v) emit (max(u,v) → min-neighbor-of-u incl u)
+  *   small-star: connect all smaller neighbors to the minimum neighbor
+  * Converges in O(log² n) rounds; alias graphs here are near-stars so it
+  * terminates in 2-4 rounds. Skew handling:
+  *   - min() aggregation is algebraic → Spark map-side partial aggregation
+  *     absorbs hot canonical ids before the shuffle;
+  *   - AQE skew-join splitting is enabled by the session (Bench/Verify set
+  *     spark.sql.adaptive.*), covering the hot-key join side;
+  *   - per-iteration localCheckpoint truncates lineage so plans don't grow
+  *     exponentially (SURVEY.md §4.2).
+  *
+  * Determinism: component label = min vertex id, vertex ids are
+  * content-hashes ([[graft.util.Hashing.id63]]), so labels are stable across
+  * runs, partitionings and cluster sizes — required for resume and for the
+  * MERGE materialization to be idempotent.
+  */
+object Canon {
+
+  /** edges: DataFrame(src: Long, dst: Long), undirected.
+    * Returns DataFrame(v: Long, component: Long) covering every vertex
+    * appearing in the edge set; component = min vertex id in the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize + dedup once; self-loops dropped
+    var e = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // labels: v -> current candidate component (min over seen neighbors)
+    var labels = e.select($"src".as("v")).distinct()
+      .withColumn("label", $"v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: each vertex adopts min(label of neighbors, own label)
+      val prop = e.join(labels, e("dst") === labels("v"))
+        .select(e("src").as("v"), labels("label"))
+        .union(labels.select($"v", $"label"))
+        .groupBy($"v").agg(min($"label").as("label"))
+      // second hop (pointer-jumping): adopt the label's label — this is what
+      // makes convergence logarithmic instead of linear in diameter
+      val jumped = prop.as("p")
+        .join(prop.select($"v".as("lv"), $"label".as("llabel")).as("q"),
+          col("p.label") === col("q.lv"), "left")
+        .select(col("p.v"),
+          least(col("p.label"), coalesce(col("q.llabel"), col("p.label")))
+            .as("label"))
+        .localCheckpoint(eager = true)
+      val changed = jumped.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    labels.select($"v", $"label".as("component"))
+  }
+
+  /** Canonicalize typed surfaces: vertices = (surface, entType) hashed;
+    * returns (surface, entType, canonId).
+    */
+  def canonicalize(
+      nodes: DataFrame, // (surface, entType)
+      aliasEdges: DataFrame // (src, dst) over hashed ids
+  ): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val withId = nodes
+      .withColumn("v", xxhash64(concat_ws("|", $"surface", $"entType"))
+        .bitwiseAND(lit(Long.MaxValue)))
+    val cc = connectedComponents(aliasEdges)
+    // vertices not in any edge keep their own id as component
+    withId.join(cc, Seq("v"), "left")
+      .withColumn("canonId", coalesce($"component", $"v"))
+      .select($"surface", $"entType", $"canonId")
+  }
+}

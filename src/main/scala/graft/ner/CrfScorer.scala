@@ -28,6 +28,11 @@ import graft.util.Hashing
   * dropout (model misses the mention) and boundary jitter (model extends the
   * span one char), standing in for inter-model variance. Everything is a pure
   * function of (model, sentence) — no RNG, no wall-clock.
+  *
+  * Performance: this IS the 100 TB hot loop (it runs once per model per
+  * sentence), so the inner loops are allocation-free — the BIO transition
+  * matrix is precomputed once per JVM, feature hashing is numeric
+  * (splitmix64), and the per-sentence scratch arrays are flat.
   */
 final class CrfScorer(
     val model: String,
@@ -37,63 +42,66 @@ final class CrfScorer(
 ) extends Serializable {
   import CrfScorer._
 
+  private val modelSeed = Hashing.fnv1a64(model)
+  /** per-type evidence affinity, indexed by essential-type index. */
+  private val affinity: Array[Double] =
+    Types.map(t => 2.0 + Hashing.unit(model, "#aff#", t) * 1.5).toArray
+
   /** Per-char (BIO label, prob) for one sentence. */
   def predict(sentence: String): Array[(String, Double)] = {
     val n = sentence.length
     if (n == 0) return Array.empty
-    // 1. dictionary evidence: maximal essential-type matches at every start
-    val evidence = Array.fill(n)(Array.fill(NumLabels)(0.0))
+    val sentSeed = Hashing.fnv1a64(sentence)
+
+    // 1. emissions: hashed noise + O bias, evidence added below
+    val emit = Array.ofDim[Double](n * NumLabels)
     var i = 0
+    while (i < n) {
+      val c = sentence.charAt(i).toLong
+      val base = i * NumLabels
+      var l = 0
+      while (l < NumLabels) {
+        emit(base + l) =
+          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, l.toLong)) - 0.5) * 0.4
+        l += 1
+      }
+      emit(base) += 1.0 // O bias
+      i += 1
+    }
+
+    // 2. dictionary evidence with deterministic dropout/jitter
+    i = 0
     while (i < n) {
       val m = trie.longestMatch(sentence, i)
       if (m != null) {
         val (end, tag) = m
-        val tpe = Ontology.jiebaReverse.getOrElse(tag, "x")
-        if (Ontology.essentialTypes.contains(tpe) && end - i >= 2) {
-          val word = sentence.substring(i, end)
-          val h = Hashing.fnv1a64(model, "|", word, "|", i.toString, "|", sentence)
-          val roll = (h & Long.MaxValue) % 100
+        val ti = typeIndexOfTag(tag)
+        if (ti >= 0 && end - i >= 2) {
+          val roll = (Hashing.mix(modelSeed, sentSeed,
+            (i.toLong << 20) ^ end.toLong) & Long.MaxValue) % 100
           if (roll >= missPct) {
-            // boundary jitter: extend span end by one char
-            val e2 =
-              if (roll < missPct + jitterPct && end < n) end + 1 else end
-            val affinity =
-              2.0 + Hashing.unit(model, "#aff#", tpe) * 1.5
-            val bIdx = labelIndex("B-" + tpe)
-            val iIdx = labelIndex("I-" + tpe)
-            evidence(i)(bIdx) += DictBoost + affinity
+            val e2 = if (roll < missPct + jitterPct && end < n) end + 1 else end
+            val boost = DictBoost + affinity(ti)
+            val bIdx = 1 + ti * 2
+            val iIdx = bIdx + 1
+            emit(i * NumLabels + bIdx) += boost
             var j = i + 1
-            while (j < e2) { evidence(j)(iIdx) += DictBoost + affinity; j += 1 }
+            while (j < e2) { emit(j * NumLabels + iIdx) += boost; j += 1 }
           }
         }
       }
       i += 1
     }
-    // 2. emissions = evidence + small hashed per-(model,char,label) weights
-    val emit = Array.ofDim[Double](n, NumLabels)
-    i = 0
-    while (i < n) {
-      val c = sentence.charAt(i).toString
-      var l = 0
-      while (l < NumLabels) {
-        emit(i)(l) = evidence(i)(l) +
-          (Hashing.unit(model, "#w#", c, "#", l.toString) - 0.5) * 0.4
-        l += 1
-      }
-      // O gets a steady positive bias so unevidenced chars decode to O
-      emit(i)(0) += 1.0
-      i += 1
-    }
-    // 3. Viterbi with BIO transition constraints
-    val path = viterbi(emit)
-    // 4. per-char probability via the reference's squash of the emission score
+
+    // 3. Viterbi with precomputed BIO transition matrix
+    val path = viterbi(emit, n)
+
+    // 4. per-char probability via the reference squash of the emission score
     val out = new Array[(String, Double)](n)
     i = 0
     while (i < n) {
       val l = path(i)
-      val p =
-        if (l == 0) refSigmoid(2.0 + emit(i)(0))
-        else refSigmoid(2.0 + emit(i)(l))
+      val p = refSigmoid(2.0 + emit(i * NumLabels + l))
       out(i) = (Labels(l), math.min(p, 0.99))
       i += 1
     }
@@ -110,8 +118,16 @@ object CrfScorer {
   private val labelIdx: Map[String, Int] = Labels.zipWithIndex.toMap
   def labelIndex(l: String): Int = labelIdx(l)
 
+  private val typeIdx: Map[String, Int] = Types.zipWithIndex.toMap
+  /** 2-letter gazetteer tag → essential type index, -1 if non-essential. */
+  def typeIndexOfTag(tag: String): Int = {
+    val t = Ontology.jiebaReverse.getOrElse(tag, null)
+    if (t == null) -1 else typeIdx.getOrElse(t, -1)
+  }
+
   final val DictBoost = 6.0
   private final val NegInf = -1e18
+  private final val WSeed = 0x57ee_dbee_f00dL
 
   /** Reference probability squash (multi_source_ner.py:109-110):
     * 1 / (1 + 10/(x-2)^2). Monotone for x > 2; 0 at x = 2.
@@ -121,41 +137,59 @@ object CrfScorer {
     if (d <= 0) 0.0 else 1.0 / (1.0 + 10.0 / (d * d))
   }
 
-  /** Transition score; I-T reachable only from B-T / I-T. */
-  private def trans(from: Int, to: Int): Double = {
-    val toL = Labels(to)
-    if (toL.startsWith("I-")) {
+  /** Precomputed transition matrix [from][to]; I-T only after B-T/I-T. */
+  private val Trans: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](NumLabels, NumLabels)
+    var from = 0
+    while (from < NumLabels) {
       val fromL = Labels(from)
-      val t = toL.substring(2)
-      if ((fromL.startsWith("B-") || fromL.startsWith("I-")) &&
-        fromL.substring(2) == t) 0.2
-      else NegInf
-    } else 0.0
+      var to = 0
+      while (to < NumLabels) {
+        val toL = Labels(to)
+        m(from)(to) =
+          if (toL.startsWith("I-")) {
+            val t = toL.substring(2)
+            if ((fromL.startsWith("B-") || fromL.startsWith("I-")) &&
+              fromL.substring(2) == t) 0.2
+            else NegInf
+          } else 0.0
+        to += 1
+      }
+      from += 1
+    }
+    m
   }
+  private val StartBlocked: Array[Boolean] =
+    Labels.map(_.startsWith("I-")).toArray
 
-  def viterbi(emit: Array[Array[Double]]): Array[Int] = {
-    val n = emit.length
-    val dp = Array.ofDim[Double](n, NumLabels)
-    val bp = Array.ofDim[Int](n, NumLabels)
+  /** emit is a flat n×NumLabels array. */
+  def viterbi(emit: Array[Double], n: Int): Array[Int] = {
+    val dp = Array.ofDim[Double](n * NumLabels)
+    val bp = Array.ofDim[Int](n * NumLabels)
     var l = 0
     while (l < NumLabels) {
-      dp(0)(l) = if (Labels(l).startsWith("I-")) NegInf else emit(0)(l)
-      l = l + 1
+      dp(l) = if (StartBlocked(l)) NegInf else emit(l)
+      l += 1
     }
     var i = 1
     while (i < n) {
+      val prevBase = (i - 1) * NumLabels
+      val base = i * NumLabels
       var to = 0
       while (to < NumLabels) {
         var best = NegInf
         var bestFrom = 0
         var from = 0
         while (from < NumLabels) {
-          val s = dp(i - 1)(from) + trans(from, to)
-          if (s > best) { best = s; bestFrom = from }
+          val tr = Trans(from)(to)
+          if (tr != NegInf) {
+            val s = dp(prevBase + from) + tr
+            if (s > best) { best = s; bestFrom = from }
+          }
           from += 1
         }
-        dp(i)(to) = best + emit(i)(to)
-        bp(i)(to) = bestFrom
+        dp(base + to) = best + emit(base + to)
+        bp(base + to) = bestFrom
         to += 1
       }
       i += 1
@@ -163,14 +197,15 @@ object CrfScorer {
     val path = new Array[Int](n)
     var bl = 0
     var bs = NegInf
+    val lastBase = (n - 1) * NumLabels
     l = 0
     while (l < NumLabels) {
-      if (dp(n - 1)(l) > bs) { bs = dp(n - 1)(l); bl = l }
+      if (dp(lastBase + l) > bs) { bs = dp(lastBase + l); bl = l }
       l += 1
     }
     path(n - 1) = bl
     i = n - 1
-    while (i > 0) { path(i - 1) = bp(i)(path(i)); i -= 1 }
+    while (i > 0) { path(i - 1) = bp(i * NumLabels + path(i)); i -= 1 }
     path
   }
 

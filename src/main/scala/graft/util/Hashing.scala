@@ -31,4 +31,17 @@ object Hashing {
 
   /** Non-negative 63-bit id (for `ind` etc.). */
   def id63(parts: String*): Long = fnv1a64(parts: _*) & Long.MaxValue
+
+  /** splitmix64 finalizer — numeric mixing for hot paths where building a
+    * String key per lookup would dominate (CRF scorer emissions/dropout).
+    */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def mix(a: Long, b: Long): Long = mix(a ^ mix(b))
+  def mix(a: Long, b: Long, c: Long): Long = mix(a ^ mix(b ^ mix(c)))
 }
