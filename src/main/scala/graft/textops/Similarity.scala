@@ -1,0 +1,154 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Hashing
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale notes: brute-force is a broadcast nested-loop (queries broadcast,
+  * corpus streamed — right when |queries| is small and the corpus is huge);
+  * the LSH variant turns that into ONE shuffle on bucket keys with per-bucket
+  * candidate search, trading recall (measured in the spec) for a corpus-sized
+  * instead of corpus×queries-sized cost.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in double —
+    * pure `functions._` (codegen'd, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k: queries (small) broadcast × corpus, cosine,
+    * window top-k per query. Output (query_id, neighbor_id, sim, rank).
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame, // (vec_id, embedding)
+      queryIds: Seq[Long],
+      k: Int = 3
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queries = embeddings
+      .filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val scored = embeddings.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
+  }
+
+  /** Deterministic random hyperplanes for table `t`: nBits × dim sign matrix
+    * from hashing (each table gets an independent set).
+    */
+  def hyperplanes(nBits: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      // centered uniform from splitmix — adequate for sign-LSH
+      (Hashing.unit(Hashing.mix(0x51a7e5L ^ (table.toLong << 32),
+        (b * 1315 + d).toLong)) - 0.5)
+    }
+
+  def signBucket(emb: Seq[Float], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0.0
+      val p = planes(b)
+      var d = 0
+      val n = math.min(p.length, emb.length)
+      while (d < n) { dot += p(d) * emb(d); d += 1 }
+      if (dot > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** All table buckets for one vector: element t = (t << 24) | bucket_t, so
+    * bucket keys never collide across tables.
+    */
+  def signBuckets(emb: Seq[Float], tables: Array[Array[Array[Double]]]): Seq[Int] =
+    tables.indices.map(t => (t << 24) | signBucket(emb, tables(t)))
+
+  /** Multi-table LSH ANN: each vector lands in `nTables` sign buckets;
+    * queries search the union of their buckets. Output
+    * (query_id, neighbor_id, sim, rank).
+    *
+    * Recall/cost trade: P(candidate found) = 1 − (1 − p^nBits)^nTables with
+    * p = 1 − θ/π. High-sim neighbors (the ANN contract) are recovered with
+    * near-certainty; low-sim "neighbors" of random noise are not — that is
+    * the saving vs brute force, not a defect. The spec measures recall on
+    * planted near-identical twins.
+    */
+  def lshTopK(
+      embeddings: DataFrame, // (vec_id, embedding)
+      queryIds: Seq[Long],
+      k: Int = 3,
+      nBits: Int = 8,
+      dim: Int = 64,
+      nTables: Int = 8
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val tables = spark.sparkContext.broadcast(
+      Array.tabulate(nTables)(t => hyperplanes(nBits, dim, t)))
+    val bucketsUdf = udf { (emb: Seq[Float]) =>
+      signBuckets(emb, tables.value)
+    }
+    val bucketed = embeddings
+      .withColumn("bucket", explode(bucketsUdf($"embedding")))
+    val queries = bucketed
+      .filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"bucket")
+    val scored = bucketed.join(queries, "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"q_emb", $"vec_id", $"embedding")
+      .distinct() // a pair can collide in several tables
+      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (the 5th dedup
+    * modality): pairs in the same bucket with sim >= threshold.
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(nBits, dim))
+    val bucketUdf = udf { (emb: Seq[Float]) => signBucket(emb, planes.value) }
+    val bucketed = embeddings.withColumn("bucket", bucketUdf($"embedding"))
+    val a = bucketed.select($"bucket", $"vec_id".as("id_a"),
+      $"embedding".as("emb_a"))
+    val b = bucketed.select($"bucket", $"vec_id".as("id_b"),
+      $"embedding".as("emb_b"))
+    a.join(b, "bucket")
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", round(cosine($"emb_a", $"emb_b"), 6))
+      .filter($"sim" >= threshold)
+      .select($"id_a", $"id_b", $"sim")
+  }
+}

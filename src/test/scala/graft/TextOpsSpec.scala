@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.textops.{Dedup, Multimodal, Similarity, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("langId: CJK shortcut and stopword argmax") {
+    assert(TextOps.langId("患者的病情是在好转了") == "zh")
+    assert(TextOps.langId("the cat and the dog of the house") == "en")
+    assert(TextOps.langId("el gato y la casa de los perros") == "es")
+    assert(TextOps.langId("") == "und")
+    assert(TextOps.langId("zzz qqq xxx") == "und")
+  }
+
+  test("rollingHash: whitespace-collapse + case normalization") {
+    assert(TextOps.rollingHash("A  b\tC") == TextOps.rollingHash("a b c"))
+    assert(TextOps.rollingHash("ab") != TextOps.rollingHash("ba"))
+  }
+
+  test("qualityScore monotone-ish in length, bounded [0,1]") {
+    val short = TextOps.qualityScore("hi")
+    val long = TextOps.qualityScore(("the quick brown fox jumps " * 30).trim)
+    assert(short < long && long <= 1.0 && short >= 0.0)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dupes = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text", concat(col("text"), lit(" nearduplicate")))
+    val all = docs.unionByName(dupes)
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    val pairs = Dedup.minhashLsh(all, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 500L by 10L)
+      .count(i => pairs.contains((i, i + 10000000L)) ||
+        pairs.contains((i + 10000000L, i)))
+    assert(found.toDouble / planted >= 0.9, s"$found/$planted")
+    // est_sim tracks exact jaccard within 0.15 on found pairs
+    val rows = Dedup.minhashLsh(all, "doc_id", "text", 0.5).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.15,
+        s"est=${r.getDouble(2)} exact=${r.getDouble(3)}")
+    }
+  }
+
+  test("simhash: identical text → distance 0; planted dupes found") {
+    assert(Dedup.simhash("a b c") == Dedup.simhash("a b c"))
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val dupes = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val pairs = Dedup.simhashDedup(docs.unionByName(dupes), "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies must appear at hamming 0
+    val found = (0L until 100L)
+      .count(i => pairs.contains((i, i + 10000000L)) ||
+        pairs.contains((i + 10000000L, i)))
+    assert(found >= 95, s"$found/100")
+  }
+
+  test("LSH top-k recovers planted high-sim twins (the ANN contract)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // plant twins: vec_id+10M with tiny perturbation (cos ≈ 0.99999)
+    val twins = emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0001)).cast("float")))
+    val all = emb.unionByName(twins)
+    val qs = (0L until 30L).toSeq
+    val lsh = Similarity.lshTopK(all, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val found = qs.count(q => lsh.get(q).contains(q + 10000000L))
+    assert(found >= 27, s"twin recall $found/30")
+    // and brute force agrees on those same twins (ground truth)
+    val bf = Similarity.bruteForceTopK(all, qs.take(10), 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 10L).forall(q => bf(q) == q + 10000000L))
+  }
+
+  test("multimodal: stub features are normalized histograms; resize/frames per kind") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, 90))
+      .collect()
+    assert(feats.length == 90)
+    feats.foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.length == Multimodal.FeatureDim)
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+      val kind = r.getString(1)
+      val offsets = r.getSeq[Int](6)
+      if (kind == "image") assert(offsets.isEmpty)
+      else assert(offsets.nonEmpty)
+      if (kind == "image") {
+        assert(r.getInt(4) <= 256 && r.getInt(5) <= 256)
+      }
+    }
+  }
+
+  test("resizeDims preserves aspect ratio and caps the long side") {
+    assert(Multimodal.resizeDims(512, 256, 256) == ((256, 128)))
+    assert(Multimodal.resizeDims(100, 400, 256) == ((64, 256)))
+    assert(Multimodal.resizeDims(100, 100, 256) == ((100, 100)))
+  }
+}
