@@ -115,6 +115,40 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"))
         .dropDuplicates()
     }),
+    // ---- U2: except / set difference (users who err but never purchase) ----
+    "u2_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "purchase" &&
+          col("value") > 150).select(col("user_id")).distinct())
+    }),
+    // ---- J-family: anti-join (parts never ordered) ----
+    "j_anti_no_orders" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_unsold"))
+    }),
+    // ---- A13: mode (deterministic tie-break, not engine-dependent mode()) --
+    "a13_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .withColumn("bucket", col("user_id") % 100)
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("c").desc, col("event_type").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("bucket"), col("event_type").as("mode_type"), col("c"))
+    }),
+    // ---- W2: offset ids ----
+    "w2_offset_ids" -> ((s, dir) => {
+      t(s, dir, "region").select(col("r_name"),
+        (row_number().over(Window.orderBy(col("r_name"))) + lit(700000))
+          .as("souc_id"))
+    }),
     // ---- P13: null/length guards ----
     "p13_filter_guards" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -288,6 +322,26 @@ object SparkEntry {
         | UNION ALL SELECT c_nationkey AS nationkey FROM customer)""".stripMargin,
     "a2_dedupe" ->
       "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    "u2_except" ->
+      """SELECT DISTINCT user_id FROM events
+        | WHERE event_type = 'error' AND value > 150
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        | WHERE event_type = 'purchase' AND value > 150""".stripMargin,
+    "j_anti_no_orders" ->
+      """SELECT p_brand, count(*) AS n_unsold FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |GROUP BY p_brand""".stripMargin,
+    "a13_mode" ->
+      """SELECT bucket, event_type AS mode_type, c FROM (
+        | SELECT bucket, event_type, c, row_number() OVER
+        |   (PARTITION BY bucket ORDER BY c DESC, event_type ASC) AS rn
+        | FROM (SELECT user_id % 100 AS bucket, event_type, count(*) AS c
+        |       FROM events GROUP BY 1, 2)) WHERE rn = 1""".stripMargin,
+    "w2_offset_ids" ->
+      """SELECT r_name, CAST(row_number() OVER (ORDER BY r_name) + 700000
+        | AS INT) AS souc_id FROM region""".stripMargin,
     "p13_filter_guards" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,

@@ -81,7 +81,7 @@ object Gazetteer {
     * tag, everything else becomes single-char "x" tokens.
     */
   def tokenize(trie: Trie, sentence: String): Seq[Token] = {
-    val out = Seq.newBuilder[Token]
+    val out = scala.collection.immutable.ArraySeq.newBuilder[Token]
     var i = 0
     val n = sentence.length
     while (i < n) {

@@ -17,6 +17,21 @@ object Extract {
 
   private val headingRe = "^第(.{1,3})(部分|篇|章|节)(.*)$".r
 
+  /** P10 disease-title cleanup (structurize_files.py:757-799): strip
+    * parenthesized spans, drop titles containing list/section markers or
+    * ending in 。/期.
+    */
+  private val parenRe = "[\\(\\[（【].*?[\\)\\]）】]"
+  private val badTitleParts =
+    Seq("治疗", "手术", "。", "诊断", "临床", "章", ":", "、", ",", "分类")
+
+  def cleanDiseaseTitle(name: String): Option[String] = {
+    val stripped = name.replaceAll(parenRe, "")
+    if (stripped.isEmpty || badTitleParts.exists(stripped.contains) ||
+      stripped.endsWith("。") || stripped.endsWith("期")) None
+    else Some(stripped)
+  }
+
   /** Heading state machine building the "part|chapter|section" location
     * string (structurize_files.py:559-591) and cutting content blocks on
     * 【keyword】 markers. One call per page; pure.
@@ -39,7 +54,12 @@ object Extract {
             case "章" =>
               chapter = line.trim; section = ""; head = rest
             case "节" =>
-              section = line.trim; head = rest
+              section = line.trim
+              // clinical heads are disease names → P10 cleanup; a rejected
+              // title voids the head so its blocks are skipped
+              head =
+                if (source == "c") cleanDiseaseTitle(rest).getOrElse("")
+                else rest
           }
         case _ if line.startsWith("【") =>
           val close = line.indexOf('】')

@@ -30,7 +30,28 @@ import graft.model.{Mention, Ontology, Token}
   */
 object Merge {
 
-  /** First occurrence of `a` as a slice of `x` (clean_and_save.py:59-62). */
+  /** First occurrence of `a` as a slice of `x` (clean_and_save.py:59-62).
+    * Array-indexed — this runs ~100 candidate sequences × every window start
+    * × every sentence, so no per-window slicing/allocation (a List.slice here
+    * dominated the whole pipeline's CPU profile).
+    */
+  def isAInX(a: Array[String], x: Array[String]): (Int, Boolean) = {
+    val alen = a.length
+    var i = 0
+    val last = x.length - alen
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < alen) {
+        if (x(i + j) != a(j)) ok = false else j += 1
+      }
+      if (ok) return (i, true)
+      i += 1
+    }
+    (0, false)
+  }
+
+  /** Generic convenience (tests / small inputs). */
   def isAInX[T](a: Seq[T], x: Seq[T]): (Int, Boolean) = {
     var i = 0
     val last = x.length - a.length
@@ -45,44 +66,86 @@ object Merge {
     combined.contains('、') || !sentence.contains(combined) ||
       combined.contains(',') || combined.contains(':')
 
-  private def toDict(seg: Seq[Token]): mutable.LinkedHashMap[Int, Token] = {
+  private def toDict(seg: Array[Token]): mutable.LinkedHashMap[Int, Token] = {
     val d = mutable.LinkedHashMap.empty[Int, Token]
-    seg.zipWithIndex.foreach { case (t, i) => d.put(i, t) }
+    var i = 0
+    while (i < seg.length) { d.put(i, seg(i)); i += 1 }
     d
   }
 
   /** Python-wraparound previous-token end (clean_and_save.py:84). */
-  private def prevEnd(seg: Seq[Token], pos: Int): Int =
+  private def prevEnd(seg: Array[Token], pos: Int): Int =
     if (seg.isEmpty) 0
-    else if (pos == 0) seg.last.end
+    else if (pos == 0) seg(seg.length - 1).end
     else seg(pos - 1).end
+
+  private def combineWords(words: Array[String], pos: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = pos
+    val end = math.min(pos + len, words.length)
+    while (i < end) { sb.append(words(i)); i += 1 }
+    sb.toString
+  }
 
   /** `words_combiner` (clean_and_save.py:65-110). */
   def wordsCombiner(
       sentence: String,
       seg: Seq[Token],
       poSeries: Seq[Seq[String]]
+  ): Seq[Token] =
+    wordsCombinerArr(sentence, seg, poSeries.map(_.toArray).toArray,
+      deletePos2 = false)
+
+  /** Shared combiner core; `deletePos2` distinguishes the plain combiner
+    * (3rd token survives, :99-103) from the fuzzy one (pos+2 deleted too,
+    * :227-233).
+    */
+  private def wordsCombinerArr(
+      sentence: String,
+      segIn: Seq[Token],
+      poSeries: Array[Array[String]],
+      deletePos2: Boolean
   ): Seq[Token] = {
+    val seg = segIn.toArray
     val jDict = toDict(seg)
-    val segs = seg.map(_.tag)
-    val words = seg.map(_.word)
-    poSeries.foreach { seq =>
+    val segs = new Array[String](seg.length)
+    val words = new Array[String](seg.length)
+    var i = 0
+    while (i < seg.length) { segs(i) = seg(i).tag; words(i) = seg(i).word; i += 1 }
+    var s = 0
+    while (s < poSeries.length) {
+      val seq = poSeries(s)
       val (pos, contains) = isAInX(seq, segs)
       if (contains) {
         val start = prevEnd(seg, pos)
-        val combined = words.slice(pos, pos + seq.length).mkString
+        val combined = combineWords(words, pos, seq.length)
         if (combined.length < 12 && !rejected(combined, sentence)) {
-          jDict.put(pos, Token(combined, seq.last, start, start + combined.length))
-          if (jDict.contains(pos + 1)) {
-            jDict.remove(pos + 1)
-            // 3-seq: reference tries `del j_dict[pos+1]` AGAIN (:99-103);
-            // it always fails -> the 3rd token survives. No-op here.
-          }
+          jDict.put(pos,
+            Token(combined, seq(seq.length - 1), start, start + combined.length))
+          val had = jDict.contains(pos + 1)
+          jDict.remove(pos + 1)
+          if (deletePos2 && had && seq.length == 3) jDict.remove(pos + 2)
         }
       }
+      s += 1
     }
     jDict.values.toSeq
   }
+
+  /** Memoized fuzzy candidate expansions — rebuilt per sentence in the
+    * reference (:179-184); there are only a handful of distinct
+    * (preTypes, centerType) combos so cache them per JVM.
+    */
+  private val fuzzySeriesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), Array[Array[String]]]()
+
+  private def fuzzySeries(preTypes: Seq[String], centerType: String): Array[Array[String]] =
+    fuzzySeriesCache.computeIfAbsent((preTypes, centerType), { _ =>
+      preTypes.flatMap { pt =>
+        Seq(Array(pt, centerType)) ++
+          Ontology.fuzzyMiddleTags.map(t => Array(pt, t, centerType))
+      }.toArray
+    })
 
   /** `words_combiner_fuzzy` (clean_and_save.py:177-236): expands
     * (preType, centerType) into [pre, center] plus [pre, T, center] for every
@@ -94,31 +157,9 @@ object Merge {
       seg: Seq[Token],
       preTypes: Seq[String],
       centerType: String
-  ): Seq[Token] = {
-    val poSeries = preTypes.flatMap { pt =>
-      Seq(Seq(pt, centerType)) ++
-        Ontology.fuzzyMiddleTags.map(t => Seq(pt, t, centerType))
-    }
-    val jDict = toDict(seg)
-    val segs = seg.map(_.tag)
-    val words = seg.map(_.word)
-    poSeries.foreach { seq =>
-      val (pos, contains) = isAInX(seq, segs)
-      if (contains) {
-        val start = prevEnd(seg, pos)
-        val combined = words.slice(pos, pos + seq.length).mkString
-        if (combined.length < 12 && !rejected(combined, sentence)) {
-          jDict.put(pos, Token(combined, seq.last, start, start + combined.length))
-          val had = jDict.contains(pos + 1)
-          jDict.remove(pos + 1)
-          // reference (:227-233): `del pos+1` inside try/continue — a KeyError
-          // skips the pos+2 delete too
-          if (had && seq.length == 3) jDict.remove(pos + 2)
-        }
-      }
-    }
-    jDict.values.toSeq
-  }
+  ): Seq[Token] =
+    wordsCombinerArr(sentence, seg, fuzzySeries(preTypes, centerType),
+      deletePos2 = true)
 
   /** `suffix_combiner` (clean_and_save.py:266-296): a token of a desired type
     * directly followed by a suffix word merges into one token of
@@ -127,19 +168,19 @@ object Merge {
     */
   def suffixCombiner(
       sentence: String,
-      seg: Seq[Token],
+      segIn: Seq[Token],
       suffix: Set[String],
       desired: Set[String],
       suffixType: String
   ): Seq[Token] = {
+    val seg = segIn.toArray
     val jDict = toDict(seg)
-    val words = seg.map(_.word)
     var dt = 0
     while (dt < seg.length - 1) {
       val md = seg(dt)
       if (desired.contains(md.tag) && suffix.contains(seg(dt + 1).word)) {
         val start = prevEnd(seg, dt)
-        val combined = words(dt) + words(dt + 1)
+        val combined = md.word + seg(dt + 1).word
         if (!rejected(combined, sentence)) {
           jDict.put(dt, Token(combined, suffixType, start, start + combined.length))
           jDict.remove(dt + 1)

@@ -33,15 +33,37 @@ object Confidence {
       dsEval: Map[String, Map[String, Array[Double]]],
       numModels: Int,
       spanModels: Map[(Int, Int), Seq[String]] = Map.empty
+  ): Seq[EntityRow] =
+    entityRowsRaw(ind, modelKey, Tagged.fromPairs(tagged), sentence, dsEval,
+      numModels, spanModels)
+
+  /** Hot-path form over [[Tagged]]. */
+  def entityRowsRaw(
+      ind: Long,
+      modelKey: String,
+      tagged: Tagged,
+      sentence: String,
+      dsEval: Map[String, Map[String, Array[Double]]],
+      numModels: Int,
+      spanModels: Map[(Int, Int), Seq[String]] = Map.empty
   ): Seq[EntityRow] = {
-    val (xTypes, xPositions, _) = Bio.getPositions(tagged)
-    val probs = tagged.map(_._2)
+    val (typeIdxs, spans) = BioRaw.getPositions(tagged.labels)
+    val probs = tagged.probs
     val isEnsemble = modelKey.contains("ensemble")
-    xPositions.zip(xTypes).flatMap { case ((s, e), tpe) =>
-      if (!Ontology.essentialTypes.contains(tpe)) None
-      else {
-        val slice = probs.slice(s, e)
-        val mean = if (slice.isEmpty) 0.0 else slice.sum / slice.size
+    val out = Seq.newBuilder[EntityRow]
+    var k = 0
+    while (k < spans.length) {
+      val s = BioRaw.spanStart(spans(k))
+      val e = BioRaw.spanEnd(spans(k))
+      val tpe = CrfScorer.Types(typeIdxs(k))
+      // all scorer types are essential by construction; keep the reference's
+      // membership guard for ensemble sequences fed from elsewhere
+      if (Ontology.essentialTypes.contains(tpe)) {
+        var sum = 0.0
+        var i = s
+        val e2 = math.min(e, probs.length)
+        while (i < e2) { sum += probs(i); i += 1 }
+        val mean = if (e2 > s) sum / (e2 - s) else 0.0
         val ps =
           if (!isEnsemble) {
             val m = dsEval(modelKey)(tpe)
@@ -50,18 +72,21 @@ object Confidence {
             val voters = spanModels.getOrElse((s, e), Seq.empty)
             if (voters.isEmpty) Array(mean, mean, mean, mean)
             else {
-              val cs = Array.tabulate(4) { k =>
-                voters.map(v => dsEval(v)(tpe)(k))
+              val cs = Array.tabulate(4) { j =>
+                voters.map(v => dsEval(v)(tpe)(j))
               }
-              Array.tabulate(4) { k =>
-                val mx = cs(k).max
+              Array.tabulate(4) { j =>
+                val mx = cs(j).max
                 mean * (mx + (1 - mx) * voters.size.toDouble / (2.0 * numModels))
               }
             }
           }
-        val word = sentence.substring(s, math.min(e, sentence.length))
-        Some(EntityRow(ind, modelKey, word, tpe, s, e, ps(0), ps(1), ps(2), ps(3)))
+        val word = sentence.substring(math.min(s, sentence.length),
+          math.min(e, sentence.length))
+        out += EntityRow(ind, modelKey, word, tpe, s, e, ps(0), ps(1), ps(2), ps(3))
       }
+      k += 1
     }
+    out.result()
   }
 }

@@ -47,30 +47,31 @@ final class CrfScorer(
   private val affinity: Array[Double] =
     Types.map(t => 2.0 + Hashing.unit(model, "#aff#", t) * 1.5).toArray
 
-  /** Per-char (BIO label, prob) for one sentence. */
-  def predict(sentence: String): Array[(String, Double)] = {
+  /** Per-char (BIO label, prob) for one sentence — compat wrapper. */
+  def predict(sentence: String): Array[(String, Double)] =
+    predictRaw(sentence).toPairs
+
+  /** Hot-path form: int labels + primitive probs (see [[Tagged]]).
+    *
+    * Lattice restriction: unevidenced B-/I- labels can never enter the
+    * decoded path — their emissions are bounded by +0.2 noise while O carries
+    * a +1.0 bias (gap ≥ 0.6 every char, and I- is reachability-gated) — so
+    * the Viterbi runs over {O} ∪ {B-t, I-t : t evidenced in this sentence}
+    * only. Output-identical to the full 21-label lattice, ~5x cheaper on
+    * typical sentences (1-3 evidenced types).
+    */
+  def predictRaw(sentence: String): Tagged = {
     val n = sentence.length
-    if (n == 0) return Array.empty
+    if (n == 0) return Tagged(Array.empty, Array.empty)
     val sentSeed = Hashing.fnv1a64(sentence)
 
-    // 1. emissions: hashed noise + O bias, evidence added below
-    val emit = Array.ofDim[Double](n * NumLabels)
+    // 1. dictionary evidence with deterministic dropout/jitter, recorded as
+    //    (charIdx -> boost) per evidenced type
+    var typeMask = 0 // bit per essential type index
+    // evidence per char per type collected sparsely first
+    val evB = new Array[Double](n * Types.length)
+    val evI = new Array[Double](n * Types.length)
     var i = 0
-    while (i < n) {
-      val c = sentence.charAt(i).toLong
-      val base = i * NumLabels
-      var l = 0
-      while (l < NumLabels) {
-        emit(base + l) =
-          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, l.toLong)) - 0.5) * 0.4
-        l += 1
-      }
-      emit(base) += 1.0 // O bias
-      i += 1
-    }
-
-    // 2. dictionary evidence with deterministic dropout/jitter
-    i = 0
     while (i < n) {
       val m = trie.longestMatch(sentence, i)
       if (m != null) {
@@ -82,30 +83,81 @@ final class CrfScorer(
           if (roll >= missPct) {
             val e2 = if (roll < missPct + jitterPct && end < n) end + 1 else end
             val boost = DictBoost + affinity(ti)
-            val bIdx = 1 + ti * 2
-            val iIdx = bIdx + 1
-            emit(i * NumLabels + bIdx) += boost
+            typeMask |= (1 << ti)
+            evB(i * Types.length + ti) += boost
             var j = i + 1
-            while (j < e2) { emit(j * NumLabels + iIdx) += boost; j += 1 }
+            while (j < e2) { evI(j * Types.length + ti) += boost; j += 1 }
           }
         }
       }
       i += 1
     }
 
-    // 3. Viterbi with precomputed BIO transition matrix
-    val path = viterbi(emit, n)
+    // fast path: no evidence → all-O decode with O-emission probs
+    if (typeMask == 0) {
+      val labels = new Array[Int](n)
+      val probs = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        val c = sentence.charAt(i).toLong
+        val noise =
+          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, 0L)) - 0.5) * 0.4
+        probs(i) = math.min(refSigmoid(2.0 + noise + 1.0), 0.99)
+        i += 1
+      }
+      return Tagged(labels, probs)
+    }
+
+    // active label set: global label ids, index 0 = O
+    val activeTypes = (0 until Types.length).filter(t => (typeMask & (1 << t)) != 0)
+    val nA = 1 + activeTypes.length * 2
+    val active = new Array[Int](nA) // local -> global label id
+    val typeOfLocal = new Array[Int](nA) // local -> type idx (-1 for O)
+    val isILocal = new Array[Boolean](nA)
+    active(0) = 0; typeOfLocal(0) = -1
+    var a = 1
+    activeTypes.foreach { t =>
+      active(a) = 1 + 2 * t; typeOfLocal(a) = t; isILocal(a) = false; a += 1
+      active(a) = 2 + 2 * t; typeOfLocal(a) = t; isILocal(a) = true; a += 1
+    }
+
+    // 2. emissions over active labels: hashed noise + O bias + evidence
+    val emit = new Array[Double](n * nA)
+    i = 0
+    while (i < n) {
+      val c = sentence.charAt(i).toLong
+      val base = i * nA
+      var l = 0
+      while (l < nA) {
+        val g = active(l)
+        var e =
+          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, g.toLong)) - 0.5) * 0.4
+        if (l == 0) e += 1.0
+        else {
+          val t = typeOfLocal(l)
+          e += (if (isILocal(l)) evI(i * Types.length + t)
+                else evB(i * Types.length + t))
+        }
+        emit(base + l) = e
+        l += 1
+      }
+      i += 1
+    }
+
+    // 3. Viterbi over the active lattice (I-t only after B-t/I-t)
+    val path = viterbiActive(emit, n, nA, typeOfLocal, isILocal)
 
     // 4. per-char probability via the reference squash of the emission score
-    val out = new Array[(String, Double)](n)
+    val labels = new Array[Int](n)
+    val probs = new Array[Double](n)
     i = 0
     while (i < n) {
       val l = path(i)
-      val p = refSigmoid(2.0 + emit(i * NumLabels + l))
-      out(i) = (Labels(l), math.min(p, 0.99))
+      labels(i) = active(l)
+      probs(i) = math.min(refSigmoid(2.0 + emit(i * nA + l)), 0.99)
       i += 1
     }
-    out
+    Tagged(labels, probs)
   }
 }
 
@@ -161,6 +213,73 @@ object CrfScorer {
   }
   private val StartBlocked: Array[Boolean] =
     Labels.map(_.startsWith("I-")).toArray
+
+  /** Viterbi over an active-label sublattice; transitions: I-t reachable only
+    * from B-t/I-t of the same type (+0.2), everything else 0.
+    */
+  def viterbiActive(
+      emit: Array[Double],
+      n: Int,
+      nA: Int,
+      typeOfLocal: Array[Int],
+      isILocal: Array[Boolean]
+  ): Array[Int] = {
+    val dp = new Array[Double](n * nA)
+    val bp = new Array[Int](n * nA)
+    var l = 0
+    while (l < nA) {
+      dp(l) = if (isILocal(l)) NegInf else emit(l)
+      l += 1
+    }
+    var i = 1
+    while (i < n) {
+      val prevBase = (i - 1) * nA
+      val base = i * nA
+      // best unconstrained predecessor (for O and B- targets)
+      var bestAny = NegInf
+      var bestAnyFrom = 0
+      var f = 0
+      while (f < nA) {
+        if (dp(prevBase + f) > bestAny) { bestAny = dp(prevBase + f); bestAnyFrom = f }
+        f += 1
+      }
+      var to = 0
+      while (to < nA) {
+        if (!isILocal(to)) {
+          dp(base + to) = bestAny + emit(base + to)
+          bp(base + to) = bestAnyFrom
+        } else {
+          // I-t: only from B-t (to-1) or I-t (to) with +0.2
+          val t = typeOfLocal(to)
+          val fromB = dp(prevBase + to - 1)
+          val fromI = dp(prevBase + to)
+          if (fromB >= fromI) {
+            dp(base + to) = fromB + 0.2 + emit(base + to)
+            bp(base + to) = to - 1
+          } else {
+            dp(base + to) = fromI + 0.2 + emit(base + to)
+            bp(base + to) = to
+          }
+          val _ = t
+        }
+        to += 1
+      }
+      i += 1
+    }
+    val path = new Array[Int](n)
+    var bl = 0
+    var bs = NegInf
+    val lastBase = (n - 1) * nA
+    l = 0
+    while (l < nA) {
+      if (dp(lastBase + l) > bs) { bs = dp(lastBase + l); bl = l }
+      l += 1
+    }
+    path(n - 1) = bl
+    i = n - 1
+    while (i > 0) { path(i - 1) = bp(i * nA + path(i)); i -= 1 }
+    path
+  }
 
   /** emit is a flat n×NumLabels array. */
   def viterbi(emit: Array[Double], n: Int): Array[Int] = {

@@ -34,83 +34,34 @@ object Ensembles {
     * @param modelOrder iteration order over models (the reference iterates a
     *                 Python dict; we pin kd,a,c,d for determinism).
     */
+  /** String-label wrapper over [[EnsemblesRaw.run]] — one core, two views:
+    * tests exercise this surface, the pipeline uses the raw form directly.
+    */
   def run(
       predDict: Map[String, Array[(String, Double)]],
       weights: Map[String, Map[String, Double]],
       modelOrder: Seq[String] = Ontology.models
   ): EnsembleResult = {
-    val base = predDict("a")
-    val n = base.length
-    val types = Ontology.essentialTypes
+    val pred = predDict.map { case (k, v) => k -> Tagged.fromPairs(v.toSeq) }
+    val wIdx = weightsIdx(weights)
     val models = modelOrder.filter(predDict.contains)
-
-    // ---- A6: weighted per-char vote (交集集成, :252-284) ----
-    val probIntersect = base.map(_._2)
-    val voteScores = Array.fill(n)(mutable.LinkedHashMap.empty[String, Double])
-    for (m <- models; i <- 0 until n) {
-      val (label, lprob) = predDict(m)(i)
-      if (label != "O") {
-        val etype = label.split("-")(1)
-        if (types.contains(etype)) {
-          val row = voteScores(i)
-          row.update(etype, row.getOrElse(etype, 0.0) + weights(m)(etype))
-          probIntersect(i) = math.min(probIntersect(i), lprob)
-        }
-      }
-    }
-    val voteFinal = voteScores.map { row =>
-      if (row.isEmpty) "O"
-      else {
-        // res["O"] = 1 - sum; argmax over insertion order, first max wins
-        // (EnsemblePredict_all.py:276-284)
-        val withO = row.toSeq :+ ("O" -> (1.0 - row.values.sum))
-        val (maxKey, maxVal) = withO.maxBy(_._2)
-        if (maxKey != "O" && maxVal >= 0.2) maxKey else "O"
-      }
-    }
-    val votesBio = Bio.toBio(voteFinal.toSeq).toArray
-    val votes = votesBio.zip(probIntersect)
-
-    // ---- A7: char-wise union, base model wins conflicts (:289-317) ----
-    val unionTypes = base.map { case (l, _) =>
-      if (l == "O") "O" else l.split("-")(1)
-    }
-    val probUnion = base.map(_._2)
-    for (m <- models; i <- 0 until n) {
-      val (label, lprob) = predDict(m)(i)
-      if (label != "O") {
-        val etype = label.split("-")(1)
-        if (etype != unionTypes(i) && unionTypes(i) == "O") {
-          probUnion(i) = math.max(probUnion(i), lprob)
-          unionTypes(i) = etype
-        }
-      }
-    }
-    val unionBio = Bio.toBio(unionTypes.toSeq).toArray
-    val union = unionBio.zip(probUnion)
-
-    // ---- A8: majority vote over union spans (ensemble_strong, :321-395) ----
-    val (cTypes, positions, _) = Bio.getPositions(union.toSeq)
-    val probCombined = base.map(_._2)
-    val frequencyCounts =
-      mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[String]]
-    for (m <- models; i <- 0 until n) {
-      val (label, lprob) = predDict(m)(i)
-      if (label != "O") {
-        probCombined(i) = math.max(probCombined(i), lprob)
-        val ci = Bio.wordIndex(positions, i)
-        if (ci >= 0)
-          frequencyCounts.getOrElseUpdate(ci, mutable.ArrayBuffer.empty) += m
-      }
-    }
-    val kept = frequencyCounts.toSeq.filter(_._2.distinct.size >= 2)
-    val boundaries = kept.map { case (ci, _) => positions(ci) }
-    val keptModels = kept.map { case (_, ms) => ms.distinct.sorted.toSeq }
-    val keptTypes = kept.map { case (ci, _) => cTypes(ci) }
-    val strongBio =
-      Bio.fromSpans(n, boundaries.zip(keptTypes)).toArray
-    val strong = strongBio.zip(probCombined)
-
-    EnsembleResult(votes, union, strong, boundaries, keptModels, keptTypes)
+    val r = EnsemblesRaw.run(pred, wIdx, modelOrder)
+    EnsembleResult(
+      votes = r.votes.toPairs,
+      union = r.union.toPairs,
+      strong = r.strong.toPairs,
+      boundaries = r.boundaries.toSeq.map(s =>
+        (BioRaw.spanStart(s), BioRaw.spanEnd(s))),
+      models = r.modelMasks.toSeq.map(EnsemblesRaw.modelNames(_, models)),
+      types = r.typeIdxs.toSeq.map(CrfScorer.Types(_))
+    )
   }
+
+  /** model → per-typeIdx dense weight array (indexed like CrfScorer.Types). */
+  def weightsIdx(
+      weights: Map[String, Map[String, Double]]
+  ): Map[String, Array[Double]] =
+    weights.map { case (m, byType) =>
+      m -> CrfScorer.Types.map(t => byType.getOrElse(t, 0.0)).toArray
+    }
 }

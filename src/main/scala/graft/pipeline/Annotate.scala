@@ -84,25 +84,32 @@ object Annotate {
         prob, prob, prob, prob)
     }
 
-    // STEP B: 4 scorers + ensembles (EnsemblePredict_all.py:226-395)
-    val pred = scorers.map(sc => sc.model -> sc.predict(sent)).toMap
-    val ens = Ensembles.run(pred, weights)
+    // STEP B: 4 scorers + ensembles (EnsemblePredict_all.py:226-395) —
+    // raw int-label path (allocation-free per char)
+    val pred = scorers.map(sc => sc.model -> sc.predictRaw(sent)).toMap
+    val modelOrder = Ontology.models.filter(pred.contains)
+    val ens = EnsemblesRaw.run(pred, Ensembles.weightsIdx(weights))
 
     // ensemble mentions for the merge path (:391-395), normalized spans
     val ensembleMentions = Spans.normalize(
-      ens.boundaries.zip(ens.types).map { case ((s, e), t) =>
-        val e2 = math.min(e, sent.length)
-        Mention(sent.substring(s, e2), t, s, e2, 0.0, 0.0)
+      ens.boundaries.toSeq.zip(ens.typeIdxs.toSeq).map { case (span, ti) =>
+        val s = BioRaw.spanStart(span)
+        val e2 = math.min(BioRaw.spanEnd(span), sent.length)
+        Mention(sent.substring(s, e2), CrfScorer.Types(ti), s, e2, 0.0, 0.0)
       })
 
     // STEP C: per-model + ensemble_strong confidence rows (:500-552)
-    val spanModels = ens.boundaries.zip(ens.models).toMap
+    val spanModels: Map[(Int, Int), Seq[String]] =
+      ens.boundaries.toSeq.zip(ens.modelMasks.toSeq).map { case (span, mask) =>
+        (BioRaw.spanStart(span), BioRaw.spanEnd(span)) ->
+          EnsemblesRaw.modelNames(mask, modelOrder)
+      }.toMap
     val modelRows = scorers.flatMap { sc =>
-      Confidence.entityRows(sr.ind, sc.model, pred(sc.model).toSeq, sent,
+      Confidence.entityRowsRaw(sr.ind, sc.model, pred(sc.model), sent,
         dsEval, numModels)
     }
-    val strongRows = Confidence.entityRows(sr.ind, "ensemble_strong",
-      ens.strong.toSeq, sent, dsEval, numModels, spanModels)
+    val strongRows = Confidence.entityRowsRaw(sr.ind, "ensemble_strong",
+      ens.strong, sent, dsEval, numModels, spanModels)
 
     // STEP D: boundary strip, ensemble_strong only (clean_and_save.py:522-544)
     val strippedStrong = strongRows.map { r =>

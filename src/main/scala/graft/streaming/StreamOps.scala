@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference is strictly batch (SURVEY.md §2.8) — its only online path is
+  * a synchronous Flask API (app_multi.py:154-253). The Spark-native
+  * equivalents here are:
+  *   - a watermarked sliding-window aggregation over the events stream
+  *     (the standard ingest-monitoring shape: counts/values per type per
+  *     window, late data bounded by the watermark);
+  *   - a stateful per-key session/dedup operator via mapGroupsWithState
+  *     (the online analog of the batch mention dedup A3: first-seen wins
+  *     within a TTL) — custom state where built-in operators can't express
+  *     the semantics;
+  *   - foreachBatch bridging micro-batches onto the batch NER annotate stage
+  *     (the online-NER path: each micro-batch of sentences runs the same
+  *     broadcast-trie + scorer ensemble used in batch, so online and offline
+  *     extraction CANNOT drift).
+  */
+object StreamOps {
+
+  /** Windowed event aggregation: 1-minute windows sliding 30s, 2-minute
+    * watermark. Works on any DataFrame with (ts timestamp, event_type
+    * string, value double) — batch or streaming (same plan, Catalyst decides
+    * the stateful physical ops for the stream case).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // parquet written by arrow carries TIMESTAMP_NTZ; watermarks require
+      // an instant type
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute", "30 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("total_value"))
+
+  final case class SeenState(firstTs: Long, count: Long)
+  final case class EventKey(userId: Long, eventType: String)
+  final case class EventIn(userId: Long, eventType: String, tsMs: Long)
+  final case class DedupOut(
+      userId: Long,
+      eventType: String,
+      firstTsMs: Long,
+      dupCount: Long
+  )
+
+  /** Stateful first-seen dedup with TTL: emits one row per (user, type) with
+    * how many duplicates were suppressed. mapGroupsWithState with processing-
+    * time timeout — the KeyValueGroupedDataset custom-state path.
+    */
+  def dedupWithState(
+      events: Dataset[EventIn],
+      ttl: String = "10 minutes"
+  ): Dataset[DedupOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => EventKey(e.userId, e.eventType))
+      .mapGroupsWithState[SeenState, DedupOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: EventKey, rows: Iterator[EventIn], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            DedupOut(key.userId, key.eventType, s.firstTs, s.count - 1)
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(
+              SeenState(batch.map(_.tsMs).min, 0L))
+            val next = SeenState(prev.firstTs, prev.count + batch.size)
+            state.update(next)
+            state.setTimeoutDuration(ttl)
+            DedupOut(key.userId, key.eventType, next.firstTs, next.count - 1)
+          }
+      }
+  }
+
+  /** Run the windowed aggregation as a real stream from a bounded in-memory
+    * replay of the events table (rate-limited micro-batches), writing to a
+    * memory sink. Returns the query; caller awaits termination/snapshots the
+    * sink table. Used by the demo/driver — production would swap source/sink
+    * for Kafka/Iceberg without touching `windowedCounts`.
+    */
+  def replayToMemorySink(
+      spark: SparkSession,
+      eventsParquet: String,
+      sinkName: String
+  ): StreamingQuery = {
+    val schema = spark.read.parquet(eventsParquet).schema
+    // the file source requires a DIRECTORY; testdata ships single files —
+    // stage a link into a temp dir (cheap, no data copy on same fs)
+    val src = java.nio.file.Paths.get(eventsParquet)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) eventsParquet
+      else {
+        val d = java.nio.file.Files.createTempDirectory("stream_src")
+        val target = d.resolve(src.getFileName)
+        try java.nio.file.Files.createSymbolicLink(target, src)
+        catch { case _: Throwable => java.nio.file.Files.copy(src, target) }
+        d.toString
+      }
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    windowedCounts(stream)
+      .writeStream
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .start()
+  }
+}

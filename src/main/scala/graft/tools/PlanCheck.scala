@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints the formatted physical plan of key queries and
+  * greps for the properties that matter at 100 TB — PushedFilters reaching
+  * the parquet scan, pruned ReadSchema, BroadcastHashJoin for dim joins,
+  * WholeStageCodegen coverage. Run: sbt "runMain graft.tools.PlanCheck".
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val interesting = Seq("q1_agg", "j1_join_lineage", "j2_broadcast_dim",
+      "p13_filter_guards", "a3_argmax_dedup", "u2_except")
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // execute so AQE finalizes the physical plan
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val executed = df.queryExecution.executedPlan.toString
+      def has(s: String) = plan.contains(s) || executed.contains(s)
+      // executed-plan string renders codegen stages as "*(n) Operator"
+      val codegen = has("WholeStageCodegen") ||
+        executed.linesIterator.exists(_.trim.startsWith("+- *("))
+      println(s"=== $name ===")
+      println(s"  WholeStageCodegen : $codegen")
+      println(s"  BroadcastHashJoin : ${has("BroadcastHashJoin")}")
+      println(s"  SortMergeJoin     : ${has("SortMergeJoin")}")
+      println(s"  PushedFilters     : ${
+        plan.linesIterator.filter(_.contains("PushedFilters"))
+          .map(_.trim.take(100)).mkString(" | ")}")
+      println(s"  ReadSchema        : ${
+        plan.linesIterator.filter(_.contains("ReadSchema"))
+          .map(_.trim.take(120)).mkString(" | ")}")
+    }
+    spark.stop()
+  }
+}
