@@ -241,6 +241,39 @@ object SparkEntry {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaTable(s, 200))
     }),
+    // ---- A11: seen/unseen dictionary words (distinct + except) ----
+    "kg_seen_unseen" -> ((s, _) => {
+      import s.implicits._
+      implicit val sp = s
+      val arts = graft.pipeline.Pipeline.artifacts(
+        graft.corpus.Corpus.pages(s, 30, 4))
+      val seen = arts.flatMap(_.row.seg
+        .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
+        .map(_.word)).distinct().toDF("word")
+        .withColumn("status", lit("seen"))
+      val refined = s.createDataset(
+        graft.corpus.Vocab.refinedDict.keys.toSeq).toDF("word")
+      val unseen = refined.except(seen.select(col("word")))
+        .withColumn("status", lit("unseen"))
+      seen.unionByName(unseen)
+    }),
+    // ---- n-gram Jaccard over adjacent-doc pairs (dedup modality #4) ----
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, graft.textops.Dedup.shingles(txt))
+        }.toDF("doc_id", "sh")
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "id_a")
+        .as[(Long, Array[Long], Long, Array[Long])]
+        .map { case (ia, sa, ib, sb) =>
+          (ia, ib, graft.textops.Dedup.exactJaccard(sa, sb))
+        }.toDF("id_a", "id_b", "jaccard")
+    }),
     // ---- KG pipeline entries (no SQL oracle: rows-only checks) ----
     "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
     "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF())

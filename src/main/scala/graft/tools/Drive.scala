@@ -83,6 +83,25 @@ object Drive {
     val gts = graft.pipeline.Pipeline.groupTriples(spark, 12).collect()
     println(s"GROUP TABOO: ${gts.length} triples")
     gts.take(4).foreach(g => println(s"  (${g.entity1}) -[${g.relation}]-> (${g.entity2})"))
+
+    // online NER (S10 analog): same scorers/ensemble as batch
+    val annotate = graft.ner.OnlineNer.annotator(
+      graft.dict.Gazetteer.buildTrie(graft.corpus.Vocab.jiebaDict),
+      graft.corpus.Fixtures.modelWeights)
+    val online = annotate("心衰竭患者常见呼吸困难，建议行心检查。")
+    println(s"ONLINE NER: ${online.entities.map(e => s"${e.word}/${e.entType}@${e.start}-${e.end}").mkString(", ")}")
+
+    // sources round-trip (S3/S7) + salted aggregation
+    val tmp = java.nio.file.Files.createTempDirectory("drive").toString
+    val sentsOut = graft.extract.Extract.sentencesOf(
+      graft.extract.Extract.sectionsOf(
+        graft.corpus.Corpus.pages(spark, 5, 2))(spark))(spark)
+    graft.sources.Sources.writeSentencesJson(sentsOut, s"$tmp/sj")
+    val back = graft.sources.Sources.readSentencesJson(spark, s"$tmp/sj")
+    println(s"SOURCES: json round-trip ${sentsOut.count()} -> ${back.count()} rows")
+    val salted = graft.util.Skew.saltedCount(
+      triples.toDF().select($"objType"), Seq("objType")).collect()
+    println(s"SALTED COUNT by objType: ${salted.map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")}")
     spark.stop()
   }
 }
