@@ -103,5 +103,18 @@ object KgRunner {
     Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
       Pipeline.groupTriples(spark).toDF()
     }
+    // reference §1.3 final table surface (format parity)
+    Snapshot.stage(spark, s"$outDir/source_segment", "source_segment") {
+      graft.canon.FinalTables.sourceSegment(arts)
+    }
+    Snapshot.stage(spark, s"$outDir/ner_result", "ner_result") {
+      graft.canon.FinalTables.nerResult(arts)
+    }
+    Snapshot.stage(spark, s"$outDir/model_info", "model_info") {
+      graft.canon.FinalTables.modelInfo(spark)
+    }
+    Snapshot.stage(spark, s"$outDir/model_eval_results", "model_eval_results") {
+      graft.canon.FinalTables.modelEvalResults(spark)
+    }
   }
 }

@@ -1,0 +1,125 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Ontology
+import graft.pipeline.Annotate.SentenceArtifacts
+
+/** The reference's final materialized table surface (SURVEY.md §1.3):
+  * source_segment (head/node side, clean_and_save.py:1140-1188),
+  * ner_result (mention/edge side, :1306-1320), and the metadata tables
+  * (model_info / model_eval_results / corpus_info, :711-866).
+  *
+  * Deviations, deliberate and documented:
+  *   - `crte_time` is a FIXED timestamp, not now() (:397-398) — wall-clock in
+  *     outputs breaks resume byte-identity;
+  *   - `head_id` keeps the reference's h%%08d dense-index format (A12,
+  *     :1174-1180) computed by dense_rank over the sorted group keys — the
+  *     distinct-group table is vocabulary-sized, so the global window is
+  *     cheap; the canonical CONTENT ids used for joins remain hashes
+  *     (Materialize), this column is format parity only.
+  */
+object FinalTables {
+
+  /** Fixed creation stamp (no wall-clock — determinism invariant). */
+  val CrteTime = "2024-01-01 00:00:00"
+  val Crter = "graft"
+
+  /** J9 source-id assignment (clean_and_save.py:1106-1139 when-chain):
+    * corpus code → source id; book-file sources get per-book TXT ids.
+    */
+  def soucId(source: org.apache.spark.sql.Column,
+      book: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(source === "d", lit("CSV02"))
+      .when(source === "kd", lit("CSV06"))
+      .when(source === "labs", lit("CSV04"))
+      .when(source === "surgeries", lit("CSV03"))
+      .when(source === "examinations", lit("CSV05"))
+      .when(source === "c",
+        concat(lit("TXTC"), pmod(xxhash64(book), lit(100))))
+      .when(source === "m",
+        concat(lit("TXTM"), pmod(xxhash64(book), lit(100))))
+      .otherwise(lit(""))
+
+  /** source_segment: one row per sentence carrying (subject, predicate)
+    * lineage — schema per clean_and_save.py:1165-1173 column mapping.
+    */
+  def sourceSegment(arts: Dataset[SentenceArtifacts])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ontoUdf = udf((t: String) => Ontology.ontologyMapping.getOrElse(t, ""))
+    val base = arts.map(_.row).toDF()
+      .select(
+        col("source").as("corpus"),
+        col("book"),
+        col("ind").as("text_id"),
+        col("location").as("catalog"),
+        col("entity1").as("text_label"),
+        col("paragraph").as("text_background"),
+        col("entity1Type").as("head_type"),
+        col("sentence").as("text_content"))
+      .withColumn("souc_id", soucId(col("corpus"), col("book")))
+      .withColumn("head_onto_id", ontoUdf(col("head_type")))
+      .withColumn("crte_time", lit(CrteTime))
+      .withColumn("crter", lit(Crter))
+    // A12 head-id: dense index over the sorted group keys (format parity;
+    // distinct groups are vocabulary-sized so the global window is fine)
+    val groups = base
+      .select(col("text_label"), col("text_background"), col("catalog"),
+        col("souc_id")).distinct()
+      .withColumn("head_idx", dense_rank().over(Window.orderBy(
+        col("text_label"), col("text_background"), col("catalog"),
+        col("souc_id"))) - 1)
+      .withColumn("head_id", format_string("h%08d", col("head_idx")))
+      .drop("head_idx")
+    base.join(broadcast(groups),
+      Seq("text_label", "text_background", "catalog", "souc_id"), "left")
+      .select("souc_id", "text_id", "catalog", "text_label",
+        "text_background", "head_onto_id", "text_content", "crte_time",
+        "crter", "head_id")
+  }
+
+  /** ner_result: one row per extracted mention — schema per
+    * clean_and_save.py:1306-1320.
+    */
+  def nerResult(arts: Dataset[SentenceArtifacts])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ontoMap = Ontology.ontologyMapping
+    arts.flatMap { a =>
+      a.entities.filter(e => e.entName.nonEmpty &&
+        Ontology.essentialTypes.contains(e.entType)).map { e =>
+        val entityId = graft.util.Hashing.id63(
+          e.entName, "|", e.entType, "|", a.row.ind.toString, "|",
+          e.start.toString, "|", e.model)
+        (entityId, e.model, a.row.ind, a.row.sentence,
+          ontoMap.getOrElse(e.entType, ""), e.entName, e.start, e.end,
+          e.prob, CrteTime, Crter)
+      }
+    }.toDF("entity_id", "ner_model_id", "text_id", "text_content",
+      "onto_id", "entity_name", "entity_begn_coord", "entity_end_coord",
+      "entity_conf", "crte_time", "crter")
+  }
+
+  /** model_info + model_eval_results metadata (clean_and_save.py:711-790)
+    * from the deterministic fixtures.
+    */
+  def modelInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Ontology.models.map { m =>
+      (m, s"crf_style_scorer_$m", CrteTime, Crter)
+    }.toDF("model_id", "model_name", "crte_time", "crter")
+  }
+
+  def modelEvalResults(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      (src, byModel) <- graft.corpus.Fixtures.evalMatrix.toSeq
+      (model, byType) <- byModel.toSeq
+      (tpe, ms) <- byType.toSeq
+    } yield (src, model, tpe, ms(0), ms(1), ms(2), ms(3))
+    rows.toDF("dataset", "model_id", "ent_type", "strict_p", "partial_p",
+      "exact_p", "type_p")
+  }
+}
