@@ -4,8 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Hashing
 
-/** Near-duplicate detection at training-data scale: MinHash+LSH, SimHash,
-  * n-gram Jaccard verification, embedding-cosine near-dup.
+/** Near-duplicate detection at training-data scale: MinHash+LSH (Broder,
+  * "On the resemblance and containment of documents", 1997; banding per
+  * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3), SimHash
+  * (Charikar, "Similarity estimation techniques from rounding algorithms",
+  * STOC 2002; hamming-banding per Manku et al., WWW 2007), n-gram Jaccard
+  * verification, embedding-cosine near-dup.
   *
   * Shape (identical for all variants, and the part that matters at 100 TB):
   *   1. per-doc signature — row-local, narrow, no shuffle;

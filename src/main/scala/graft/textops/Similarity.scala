@@ -7,7 +7,8 @@ import graft.util.Hashing
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a random-hyperplane
-  * LSH-bucketed variant as the scale path.
+  * sign-LSH variant (Charikar, STOC 2002; multi-table amplification per
+  * Indyk/Motwani, STOC 1998) as the scale path.
   *
   * Scale notes: brute-force is a broadcast nested-loop (queries broadcast,
   * corpus streamed — right when |queries| is small and the corpus is huge);
