@@ -237,6 +237,13 @@ object SparkEntry {
         .agg(round(avg(col("q")), 4).as("avg_quality"),
           count(lit(1)).as("n"))
     }),
+    // ---- rolling-hash fingerprint via the native Catalyst expression ----
+    "tq_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(graft.functions.RollingHash.rolling_hash(col("text"))
+          .as("rh"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "mm_features" -> ((s, _) => {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaTable(s, 200))
