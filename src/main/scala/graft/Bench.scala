@@ -35,7 +35,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000").toLong
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -61,48 +61,45 @@ object Bench {
     // threads. The SMT pair (8→32) is reported as a secondary observation.
     // Each level: substantial JIT warm-up (2×1000 pages), then one timed run,
     // 4 tasks per core for straggler smoothing.
-    def timedRun(threads: Int): (Long, Double) = {
-      val s = session(threads)
-      val parts = threads * 4
-      graft.pipeline.Pipeline.triples(s, 1000, parts).count()
-      graft.pipeline.Pipeline.triples(s, 1000, parts).count()
-      // best-of-2: one timed run can still catch a late JIT tier or a stray
-      // host hiccup; min is the standard steady-state estimator
-      val r1 = time {
-        graft.pipeline.Pipeline.triples(s, benchPages, parts).count()
-      }
-      val r2 = time {
-        graft.pipeline.Pipeline.triples(s, benchPages, parts).count()
-      }
-      s.stop()
-      if (r1._2 <= r2._2) r1 else r2
-    }
-    // host-capacity control: identical pure-CPU work per task (no memory
-    // traffic, no shuffle) at each level. On this sandbox the HOST throttles
-    // per-core capacity as more vCPUs go busy (measured ~1.5-1.7x per-core
-    // slowdown from 4 to 16 busy cores with a pure python loop too), so the
-    // control isolates environment capacity from pipeline scalability.
-    def cpuControl(threads: Int): Double = {
+    // One level visit = one session: warm-up, a pure-CPU host-capacity
+    // control, then a timed pipeline run. The control measures the box's
+    // per-core capacity AT THE SAME MOMENT as the pipeline measurement —
+    // this sandbox's host throttles and drifts (observed 0.6-1.0 capacity
+    // swings within minutes), so temporally-adjacent controls are the only
+    // way to separate pipeline scalability from host weather. Two interleaved
+    // passes over all levels; min time / max control throughput per level.
+    def levelVisit(threads: Int): (Long, Double, Double) = {
       val s = session(threads)
       import s.implicits._
+      val parts = threads * 4
+      graft.pipeline.Pipeline.triples(s, 1000, parts).count() // JIT warm
+      graft.pipeline.Pipeline.triples(s, 1000, parts).count()
       val tasks = threads * 4
-      def work(): Long = s.range(0, tasks, 1, tasks).map { t =>
+      def controlWork(): Long = s.range(0, tasks, 1, tasks).map { t =>
         var h: Long = t
         var i = 0
         while (i < 30000000) { h = graft.util.Hashing.mix(h); i += 1 }
         h
       }.rdd.reduce(_ ^ _)
-      work() // warm
-      val (_, sec) = time(work())
+      controlWork() // warm
+      val (_, ctrlSec) = time(controlWork())
+      val (n, sec) = time {
+        graft.pipeline.Pipeline.triples(s, benchPages, parts).count()
+      }
       s.stop()
-      tasks / sec // task-units per second
+      (n, sec, tasks / ctrlSec)
     }
 
     val levels = Seq(4, 8, 16, 32).filter(_ <= cpus)
-    val runs = levels.map(l => l -> timedRun(l)).toMap
-    val ctrl4 = cpuControl(4)
-    val ctrl16 = cpuControl(math.min(16, cpus))
-    val controlEff = (ctrl16 / ctrl4) / (math.min(16, cpus) / 4.0)
+    val runs = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+    val ctrls = scala.collection.mutable.Map.empty[Int, Double]
+    for (pass <- 1 to 2; l <- levels) {
+      val (n, sec, ctrl) = levelVisit(l)
+      if (!runs.contains(l) || sec < runs(l)._2) runs(l) = (n, sec)
+      if (!ctrls.contains(l) || ctrl > ctrls(l)) ctrls(l) = ctrl
+    }
+    val controlEff =
+      (ctrls(math.min(16, cpus)) / ctrls(4)) / (math.min(16, cpus) / 4.0)
     results += "cpu_control_efficiency" -> controlEff
     levels.foreach { l =>
       val (n, sec) = runs(l)

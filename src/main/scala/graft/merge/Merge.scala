@@ -93,43 +93,60 @@ object Merge {
       seg: Seq[Token],
       poSeries: Seq[Seq[String]]
   ): Seq[Token] =
-    wordsCombinerArr(sentence, seg, poSeries.map(_.toArray).toArray,
-      deletePos2 = false)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      wordsCombinerArr(sentence, seg.toArray, poSeries.map(_.toArray).toArray,
+        deletePos2 = false))
 
   /** Shared combiner core; `deletePos2` distinguishes the plain combiner
     * (3rd token survives, :99-103) from the fuzzy one (pos+2 deleted too,
-    * :227-233).
+    * :227-233). Array-in/array-out so the round chains allocate nothing
+    * between passes; a tag-presence prefilter skips the (large majority of)
+    * candidate series whose tags don't all occur in the sentence — pure
+    * short-circuit, first-match semantics unchanged.
     */
   private def wordsCombinerArr(
       sentence: String,
-      segIn: Seq[Token],
+      seg: Array[Token],
       poSeries: Array[Array[String]],
       deletePos2: Boolean
-  ): Seq[Token] = {
-    val seg = segIn.toArray
-    val jDict = toDict(seg)
+  ): Array[Token] = {
     val segs = new Array[String](seg.length)
     val words = new Array[String](seg.length)
+    val present = new java.util.HashSet[String](seg.length * 2)
     var i = 0
-    while (i < seg.length) { segs(i) = seg(i).tag; words(i) = seg(i).word; i += 1 }
+    while (i < seg.length) {
+      segs(i) = seg(i).tag; words(i) = seg(i).word
+      present.add(seg(i).tag)
+      i += 1
+    }
+    var jDict: mutable.LinkedHashMap[Int, Token] = null
     var s = 0
     while (s < poSeries.length) {
       val seq = poSeries(s)
-      val (pos, contains) = isAInX(seq, segs)
-      if (contains) {
-        val start = prevEnd(seg, pos)
-        val combined = combineWords(words, pos, seq.length)
-        if (combined.length < 12 && !rejected(combined, sentence)) {
-          jDict.put(pos,
-            Token(combined, seq(seq.length - 1), start, start + combined.length))
-          val had = jDict.contains(pos + 1)
-          jDict.remove(pos + 1)
-          if (deletePos2 && had && seq.length == 3) jDict.remove(pos + 2)
+      var possible = true
+      var k = 0
+      while (possible && k < seq.length) {
+        if (!present.contains(seq(k))) possible = false
+        k += 1
+      }
+      if (possible) {
+        val (pos, contains) = isAInX(seq, segs)
+        if (contains) {
+          val start = prevEnd(seg, pos)
+          val combined = combineWords(words, pos, seq.length)
+          if (combined.length < 12 && !rejected(combined, sentence)) {
+            if (jDict == null) jDict = toDict(seg)
+            jDict.put(pos,
+              Token(combined, seq(seq.length - 1), start, start + combined.length))
+            val had = jDict.contains(pos + 1)
+            jDict.remove(pos + 1)
+            if (deletePos2 && had && seq.length == 3) jDict.remove(pos + 2)
+          }
         }
       }
       s += 1
     }
-    jDict.values.toSeq
+    if (jDict == null) seg else jDict.values.toArray
   }
 
   /** Memoized fuzzy candidate expansions — rebuilt per sentence in the
@@ -158,8 +175,9 @@ object Merge {
       preTypes: Seq[String],
       centerType: String
   ): Seq[Token] =
-    wordsCombinerArr(sentence, seg, fuzzySeries(preTypes, centerType),
-      deletePos2 = true)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      wordsCombinerArr(sentence, seg.toArray,
+        fuzzySeries(preTypes, centerType), deletePos2 = true))
 
   /** `suffix_combiner` (clean_and_save.py:266-296): a token of a desired type
     * directly followed by a suffix word merges into one token of
@@ -172,9 +190,18 @@ object Merge {
       suffix: Set[String],
       desired: Set[String],
       suffixType: String
-  ): Seq[Token] = {
-    val seg = segIn.toArray
-    val jDict = toDict(seg)
+  ): Seq[Token] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      suffixCombinerArr(sentence, segIn.toArray, suffix, desired, suffixType))
+
+  private def suffixCombinerArr(
+      sentence: String,
+      seg: Array[Token],
+      suffix: Set[String],
+      desired: Set[String],
+      suffixType: String
+  ): Array[Token] = {
+    var jDict: mutable.LinkedHashMap[Int, Token] = null
     var dt = 0
     while (dt < seg.length - 1) {
       val md = seg(dt)
@@ -182,13 +209,14 @@ object Merge {
         val start = prevEnd(seg, dt)
         val combined = md.word + seg(dt + 1).word
         if (!rejected(combined, sentence)) {
+          if (jDict == null) jDict = toDict(seg)
           jDict.put(dt, Token(combined, suffixType, start, start + combined.length))
           jDict.remove(dt + 1)
         }
       }
       dt += 1
     }
-    jDict.values.toSeq
+    if (jDict == null) seg else jDict.values.toArray
   }
 
   /** `merge_nerseg` (clean_and_save.py:113-174): overlay ensemble mentions
@@ -240,44 +268,79 @@ object Merge {
     * (:241-242) — the combiners are pure (they deep-copy), so we skip the
     * dead work.
     */
+  private val R1WordsA: Array[Array[String]] = Array(
+    Array("SUR", "DRU"), Array("ORG", "SUR"), Array("DIS", "SUR"),
+    Array("TES", "SUR"))
+  private val R1WordsB: Array[Array[String]] = Array(
+    Array("SUR", "SUR"), Array("ORG", "SUR"), Array("DIS", "SUR"),
+    Array("TES", "SUR"))
+
   def round1(sentence: String, seg: Seq[Token]): Seq[Token] = {
-    var s = wordsCombinerFuzzy(sentence, seg,
-      Seq("SYM", "ORG", "DIS", "BFL", "DEG", "OGN"), "DIS")
-    s = wordsCombinerFuzzy(sentence, s,
-      Seq("SYM", "ORG", "DIS", "BFL", "DEG", "OGN"), "SYM")
-    s = wordsCombinerFuzzy(sentence, s,
-      Seq("SYM", "ORG", "DIS", "OBJ", "DRU"), "SUR")
-    s = wordsCombiner(sentence, s, Seq(
-      Seq("SUR", "DRU"), Seq("ORG", "SUR"), Seq("DIS", "SUR"), Seq("TES", "SUR")))
-    s = wordsCombiner(sentence, s, Seq(
-      Seq("SUR", "SUR"), Seq("ORG", "SUR"), Seq("DIS", "SUR"), Seq("TES", "SUR")))
-    s
+    var s = seg.toArray
+    s = wordsCombinerArr(sentence, s,
+      fuzzySeries(Seq("SYM", "ORG", "DIS", "BFL", "DEG", "OGN"), "DIS"),
+      deletePos2 = true)
+    s = wordsCombinerArr(sentence, s,
+      fuzzySeries(Seq("SYM", "ORG", "DIS", "BFL", "DEG", "OGN"), "SYM"),
+      deletePos2 = true)
+    s = wordsCombinerArr(sentence, s,
+      fuzzySeries(Seq("SYM", "ORG", "DIS", "OBJ", "DRU"), "SUR"),
+      deletePos2 = true)
+    s = wordsCombinerArr(sentence, s, R1WordsA, deletePos2 = false)
+    s = wordsCombinerArr(sentence, s, R1WordsB, deletePos2 = false)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(s)
   }
 
   /** `round_2` (clean_and_save.py:248-263). `suffixDict` is surface → TYPE. */
+  private val R2Words: Array[Array[String]] = Array(
+    Array("SUR", "SUR"), Array("ORG", "SUR"), Array("DIS", "SUR"))
+
+  /** Per-type suffix sets, precomputed once per partition (round2 runs per
+    * sentence; rebuilding 5 filtered sets each time showed in profiles).
+    */
+  final case class SuffixSets(
+      sym: Set[String], dis: Set[String], eqm: Set[String],
+      tes: Set[String], sur: Set[String])
+
+  object SuffixSets {
+    def from(suffixDict: Map[String, String]): SuffixSets = {
+      def sufOf(t: String): Set[String] =
+        suffixDict.collect { case (k, v) if v == t => k }.toSet
+      SuffixSets(sufOf("SYM"), sufOf("DIS"), sufOf("EQM"), sufOf("TES"),
+        sufOf("SUR"))
+    }
+  }
+
   def round2(
       sentence: String,
       seg: Seq[Token],
       suffixDict: Map[String, String]
+  ): Seq[Token] =
+    round2(sentence, seg, SuffixSets.from(suffixDict))
+
+  def round2(
+      sentence: String,
+      seg: Seq[Token],
+      sets: SuffixSets
   ): Seq[Token] = {
-    def sufOf(t: String): Set[String] =
-      suffixDict.collect { case (k, v) if v == t => k }.toSet
-    var s = suffixCombiner(sentence, seg, sufOf("SYM"),
+    var s = seg.toArray
+    s = suffixCombinerArr(sentence, s, sets.sym,
       Set("DIS", "SYM", "BFL", "ORG"), "SYM")
-    s = suffixCombiner(sentence, s, sufOf("DIS"),
+    s = suffixCombinerArr(sentence, s, sets.dis,
       Set("DIS", "SYM", "BFL", "ORG"), "DIS")
-    s = suffixCombiner(sentence, s, sufOf("EQM"),
+    s = suffixCombinerArr(sentence, s, sets.eqm,
       Set("SUR", "TES", "BFL", "EQM"), "EQM")
-    s = suffixCombiner(sentence, s, sufOf("TES"),
+    s = suffixCombinerArr(sentence, s, sets.tes,
       Set("SUR", "TES", "ORG", "DIS", "SYM", "BFL"), "TES")
-    s = suffixCombiner(sentence, s, sufOf("SUR"),
+    s = suffixCombinerArr(sentence, s, sets.sur,
       Set("SUR", "TES", "ORG", "DIS", "SYM", "BFL"), "SUR")
-    s = wordsCombiner(sentence, s, Seq(
-      Seq("SUR", "SUR"), Seq("ORG", "SUR"), Seq("DIS", "SUR")))
-    s = wordsCombinerFuzzy(sentence, s,
-      Seq("ORG", "DIS", "DRU", "OBJ", "BFL"), "TES")
-    s = wordsCombinerFuzzy(sentence, s,
-      Seq("SYM", "ORG", "DIS", "OBJ", "DRU"), "SUR")
-    s
+    s = wordsCombinerArr(sentence, s, R2Words, deletePos2 = false)
+    s = wordsCombinerArr(sentence, s,
+      fuzzySeries(Seq("ORG", "DIS", "DRU", "OBJ", "BFL"), "TES"),
+      deletePos2 = true)
+    s = wordsCombinerArr(sentence, s,
+      fuzzySeries(Seq("SYM", "ORG", "DIS", "OBJ", "DRU"), "SUR"),
+      deletePos2 = true)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(s)
   }
 }

@@ -40,31 +40,36 @@ object Annotate {
   )(implicit spark: SparkSession): Dataset[SentenceArtifacts] = {
     import spark.implicits._
     sentences.mapPartitions { it =>
+      // per-partition setup: everything derivable from broadcasts is
+      // computed ONCE here, never per sentence
       val trie = trieB.value
-      val scorers = CrfScorer.productionScorers(trie)
-      val weights = weightsB.value
-      val eval = evalB.value
-      val refined = refinedB.value
-      val suffixDict = suffixB.value
-      val numModels = scorers.size
-      it.map { sr =>
-        annotateOne(sr, trie, scorers, weights, eval, refined, suffixDict,
-          numModels)
-      }
+      val ctx = Ctx(
+        trie,
+        CrfScorer.productionScorers(trie),
+        weightsB.value,
+        Ensembles.weightsIdx(weightsB.value),
+        evalB.value,
+        refinedB.value,
+        graft.merge.Merge.SuffixSets.from(suffixB.value))
+      it.map(sr => annotateOne(sr, ctx))
     }
   }
 
-  /** Pure per-sentence function (unit-testable without Spark). */
-  def annotateOne(
-      sr: SentenceRow,
+  /** Per-partition context: broadcast-derived state computed once. */
+  final case class Ctx(
       trie: Trie,
       scorers: Seq[CrfScorer],
       weights: Map[String, Map[String, Double]],
+      weightsIdx: Map[String, Array[Double]],
       eval: Map[String, Map[String, Map[String, Array[Double]]]],
       refined: Set[String],
-      suffixDict: Map[String, String],
-      numModels: Int
-  ): SentenceArtifacts = {
+      suffixSets: graft.merge.Merge.SuffixSets
+  )
+
+  /** Pure per-sentence function (unit-testable without Spark). */
+  def annotateOne(sr: SentenceRow, ctx: Ctx): SentenceArtifacts = {
+    import ctx._
+    val numModels = scorers.size
     val sent = sr.sentence
     val dsEval = eval.getOrElse(sr.source, eval("m"))
 
@@ -88,7 +93,7 @@ object Annotate {
     // raw int-label path (allocation-free per char)
     val pred = scorers.map(sc => sc.model -> sc.predictRaw(sent)).toMap
     val modelOrder = Ontology.models.filter(pred.contains)
-    val ens = EnsemblesRaw.run(pred, Ensembles.weightsIdx(weights))
+    val ens = EnsemblesRaw.run(pred, weightsIdx)
 
     // ensemble mentions for the merge path (:391-395), normalized spans
     val ensembleMentions = Spans.normalize(
@@ -120,7 +125,7 @@ object Annotate {
     // STEP E: NER∪dict merge + rule rounds (clean_and_save.py:600-616)
     val merged = Merge.round2(sent,
       Merge.round1(sent, Merge.mergeNerSeg(seg, ensembleMentions)),
-      suffixDict)
+      suffixSets)
 
     // STEP F: rules_merging confidence rows (clean_and_save.py:622-707);
     // prob_seq uses the STRIPPED ensemble rows' prob_strict (:624-625, 652)
