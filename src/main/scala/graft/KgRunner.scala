@@ -59,13 +59,12 @@ object KgRunner {
     implicit val s: SparkSession = spark
     import spark.implicits._
 
-    // artifacts are computed at most once per run, only if some downstream
-    // snapshot is missing
-    lazy val arts = {
-      val a = Pipeline.artifacts(Corpus.pages(spark, nPages, par))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      a
-    }
+    // artifacts are RECOMPUTED per consuming stage rather than cached:
+    // the narrow annotate pipeline runs at ~500k sentences/s while
+    // persisting the fat nested rows costs ~3x the recompute (serializing
+    // Seq[Token]/Seq[EntityRow] per row) — when compute < serialization,
+    // caching is a pessimization. Determinism makes recompute safe.
+    def arts = Pipeline.artifacts(Corpus.pages(spark, nPages, par * 4))
 
     val triples = Snapshot.stage(spark, s"$outDir/triples", "triples") {
       Triples.fromArtifacts(arts).toDF()

@@ -48,7 +48,14 @@ object Snapshot {
       partitionBy: Seq[String] = Nil,
       parent: String = ""
   ): Manifest = {
-    val writer = df.write.mode(SaveMode.Overwrite)
+    // shuffle rows onto their target partition before a partitioned write:
+    // otherwise every task writes a file into every partition dir
+    // (tasks × partitions small files — the classic partitioned-write
+    // explosion). One shuffle buys one file per partition per write.
+    val arranged =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df
+    val writer = arranged.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir)
     val spark = df.sparkSession
@@ -76,7 +83,12 @@ object Snapshot {
       partitionBy: Seq[String] = Nil,
       parent: String = ""
   )(compute: => DataFrame): DataFrame = {
-    if (!exists(dir)) write(compute, dir, name, partitionBy, parent)
+    if (!exists(dir)) {
+      val t0 = System.nanoTime()
+      write(compute, dir, name, partitionBy, parent)
+      System.err.println(
+        f"[snapshot] stage $name committed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.read.parquet(dir)
   }
 
