@@ -51,6 +51,9 @@ final class CrfScorer(
   def predict(sentence: String): Array[(String, Double)] =
     predictRaw(sentence).toPairs
 
+  def predictRaw(sentence: String): Tagged =
+    predictRaw(sentence, CrfScorer.dictScan(trie, sentence))
+
   /** Hot-path form: int labels + primitive probs (see [[Tagged]]).
     *
     * Lattice restriction: unevidenced B-/I- labels can never enter the
@@ -60,7 +63,12 @@ final class CrfScorer(
     * only. Output-identical to the full 21-label lattice, ~5x cheaper on
     * typical sentences (1-3 evidenced types).
     */
-  def predictRaw(sentence: String): Tagged = {
+  /** @param matches shared per-sentence dict scan ([[CrfScorer.dictScan]]) —
+    * the 4 scorers consume the SAME maximal matches and differ only in their
+    * per-(model, occurrence) dropout/jitter rolls, so the scan runs once per
+    * sentence instead of once per model.
+    */
+  def predictRaw(sentence: String, matches: Array[Long]): Tagged = {
     val n = sentence.length
     if (n == 0) return Tagged(Array.empty, Array.empty)
     val sentSeed = Hashing.fnv1a64(sentence)
@@ -71,27 +79,25 @@ final class CrfScorer(
     // evidence per char per type collected sparsely first
     val evB = new Array[Double](n * Types.length)
     val evI = new Array[Double](n * Types.length)
-    var i = 0
-    while (i < n) {
-      val m = trie.longestMatch(sentence, i)
-      if (m != null) {
-        val (end, tag) = m
-        val ti = typeIndexOfTag(tag)
-        if (ti >= 0 && end - i >= 2) {
-          val roll = (Hashing.mix(modelSeed, sentSeed,
-            (i.toLong << 20) ^ end.toLong) & Long.MaxValue) % 100
-          if (roll >= missPct) {
-            val e2 = if (roll < missPct + jitterPct && end < n) end + 1 else end
-            val boost = DictBoost + affinity(ti)
-            typeMask |= (1 << ti)
-            evB(i * Types.length + ti) += boost
-            var j = i + 1
-            while (j < e2) { evI(j * Types.length + ti) += boost; j += 1 }
-          }
-        }
+    var mi = 0
+    while (mi < matches.length) {
+      val packed = matches(mi)
+      val i = (packed >>> 40).toInt
+      val end = ((packed >>> 16) & 0xffffffL).toInt
+      val ti = (packed & 0xffffL).toInt
+      val roll = (Hashing.mix(modelSeed, sentSeed,
+        (i.toLong << 20) ^ end.toLong) & Long.MaxValue) % 100
+      if (roll >= missPct) {
+        val e2 = if (roll < missPct + jitterPct && end < n) end + 1 else end
+        val boost = DictBoost + affinity(ti)
+        typeMask |= (1 << ti)
+        evB(i * Types.length + ti) += boost
+        var j = i + 1
+        while (j < e2) { evI(j * Types.length + ti) += boost; j += 1 }
       }
-      i += 1
+      mi += 1
     }
+    var i = 0
 
     // fast path: no evidence → all-O decode with O-emission probs
     if (typeMask == 0) {
@@ -180,6 +186,27 @@ object CrfScorer {
   final val DictBoost = 6.0
   private final val NegInf = -1e18
   private final val WSeed = 0x57ee_dbee_f00dL
+
+  /** Maximal essential-type dictionary matches at every start position,
+    * packed (start << 40 | end << 16 | typeIdx). Computed once per sentence
+    * and shared by all scorers + any other consumer of dict hits.
+    */
+  def dictScan(trie: graft.dict.Trie, sentence: String): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    val n = sentence.length
+    var i = 0
+    while (i < n) {
+      val m = trie.longestMatch(sentence, i)
+      if (m != null) {
+        val (end, tag) = m
+        val ti = typeIndexOfTag(tag)
+        if (ti >= 0 && end - i >= 2)
+          out += (i.toLong << 40) | (end.toLong << 16) | ti.toLong
+      }
+      i += 1
+    }
+    out.toArray
+  }
 
   /** Reference probability squash (multi_source_ner.py:109-110):
     * 1 / (1 + 10/(x-2)^2). Monotone for x > 2; 0 at x = 2.

@@ -90,8 +90,9 @@ object Annotate {
     }
 
     // STEP B: 4 scorers + ensembles (EnsemblePredict_all.py:226-395) —
-    // raw int-label path (allocation-free per char)
-    val pred = scorers.map(sc => sc.model -> sc.predictRaw(sent)).toMap
+    // raw int-label path; ONE shared trie scan feeds all 4 scorers
+    val dictMatches = CrfScorer.dictScan(trie, sent)
+    val pred = scorers.map(sc => sc.model -> sc.predictRaw(sent, dictMatches)).toMap
     val modelOrder = Ontology.models.filter(pred.contains)
     val ens = EnsemblesRaw.run(pred, weightsIdx)
 
