@@ -205,6 +205,10 @@ object SparkEntry {
       graft.textops.Similarity.lshTopK(
         t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
     }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      graft.textops.Similarity.ivfTopK(
+        t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       graft.textops.Dedup.minhashLsh(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 0.5)

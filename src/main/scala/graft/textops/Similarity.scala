@@ -128,6 +128,119 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic Lloyd's k-means coarse
+    * quantizer partitions the corpus into nlist cells; queries search only
+    * their nprobe nearest cells. The second scale path beside sign-LSH —
+    * better recall/cost trade when the data has cluster structure.
+    *
+    * Scale shape: training aggregates are algebraic (map-side combinable);
+    * assignment is a broadcast-centroid narrow map; search shuffles once on
+    * cell id. Deterministic: initial centroids are hash-picked rows, fixed
+    * iteration count, ties broken by cell index.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame, // (vec_id, embedding)
+      nlist: Int = 16,
+      iters: Int = 5,
+      dim: Int = 64
+  ): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val data = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect() // quantizer training set: a SAMPLE
+    // at real scale — here the corpus is small; production trains on
+    // .sample(fraction) with the same determinism
+    val sample = data.sortBy(_._1)
+    var centroids = Array.tabulate(nlist) { k =>
+      val idx = (Hashing.mix(0x1f5eedL, k.toLong) & Long.MaxValue) %
+        sample.length
+      sample(idx.toInt)._2.map(_.toDouble).toArray
+    }
+    def nearest(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cs.length) {
+        var d = 0.0
+        var i = 0
+        val c = cs(k)
+        val n = math.min(c.length, v.length)
+        while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { case (_, v) =>
+        val k = nearest(v, centroids)
+        counts(k) += 1
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { sums(k)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { k =>
+        if (counts(k) == 0) centroids(k)
+        else sums(k).map(_ / counts(k))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 3,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = spark.sparkContext.broadcast(
+      kmeansCentroids(embeddings, nlist, 5, dim))
+    def dist2(v: Seq[Float], c: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      val n = math.min(c.length, v.length)
+      while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val cellUdf = udf { (emb: Seq[Float]) =>
+      val cs = cents.value
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = dist2(emb, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      cents.value.indices
+        .map(i => (dist2(emb, cents.value(i)), i))
+        .sorted.take(nprobe).map(_._2)
+    }
+    val cells = embeddings.withColumn("cell", cellUdf($"embedding"))
+    val queries = embeddings
+      .filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(probeUdf($"embedding")).as("cell"))
+    val scored = cells.join(queries, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the 5th dedup
     * modality): pairs in the same bucket with sim >= threshold.
     */

@@ -84,6 +84,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert((0L until 10L).forall(q => bf(q) == q + 10000000L))
   }
 
+  test("IVF top-k recovers planted twins and matches brute force on them") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twins = emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0001)).cast("float")))
+    val all = emb.unionByName(twins)
+    val qs = (0L until 30L).toSeq
+    val ivf = Similarity.ivfTopK(all, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a twin is near-identical → same IVF cell → rank-1 neighbor
+    val found = qs.count(q => ivf.get(q).contains(q + 10000000L))
+    assert(found >= 28, s"ivf twin recall $found/30")
+    // determinism: same centroids, same result
+    val again = Similarity.ivfTopK(all, qs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == ivf)
+  }
+
   test("multimodal: stub features are normalized histograms; resize/frames per kind") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, 90))
       .collect()
