@@ -41,6 +41,20 @@ object PlanCheck {
         plan.linesIterator.filter(_.contains("ReadSchema"))
           .map(_.trim.take(120)).mkString(" | ")}")
     }
+    // bucketed co-located join audit: zero exchanges expected
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    graft.sources.Bucketing.writeBucketed(li, "pc_li_b", "l_orderkey", 8)
+    graft.sources.Bucketing.writeBucketed(o, "pc_o_b", "o_orderkey", 8)
+    val colocated = graft.sources.Bucketing.bucketedJoin(spark,
+      "pc_li_b", "pc_o_b", "l_orderkey", "o_orderkey")
+    println(s"=== bucketed_join ===")
+    println(s"  shuffle-free      : ${!graft.sources.Bucketing.hasExchange(colocated)}")
+    spark.sql("DROP TABLE IF EXISTS pc_li_b")
+    spark.sql("DROP TABLE IF EXISTS pc_o_b")
     spark.stop()
   }
 }
