@@ -90,29 +90,49 @@ object KgRunner {
       Canon.canonicalize(allSurfaces, Link.aliasEdges(links))
     }
 
-    Snapshot.stage(spark, s"$outDir/nodes", "nodes",
-      partitionBy = Seq("entType", "bucket"), parent = "canon") {
-      Materialize.nodes(triples.as[graft.model.Triple], canonMap)
-    }
-    Snapshot.stage(spark, s"$outDir/edges", "edges",
-      partitionBy = Seq("objType", "bucket"), parent = "canon") {
-      Materialize.edges(triples.as[graft.model.Triple], canonMap)
-    }
-    Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
-      Pipeline.groupTriples(spark).toDF()
-    }
-    // reference §1.3 final table surface (format parity)
-    Snapshot.stage(spark, s"$outDir/source_segment", "source_segment") {
-      graft.canon.FinalTables.sourceSegment(arts)
-    }
-    Snapshot.stage(spark, s"$outDir/ner_result", "ner_result") {
-      graft.canon.FinalTables.nerResult(arts)
-    }
-    Snapshot.stage(spark, s"$outDir/model_info", "model_info") {
-      graft.canon.FinalTables.modelInfo(spark)
-    }
-    Snapshot.stage(spark, s"$outDir/model_eval_results", "model_eval_results") {
-      graft.canon.FinalTables.modelEvalResults(spark)
-    }
+    // Independent branches run as CONCURRENT Spark jobs (separate driver
+    // threads; the scheduler interleaves their stages across the same
+    // executors) — nodes/edges depend on canon, but the final tables and
+    // taboo path do not, so they overlap with graph materialization instead
+    // of queuing behind it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val branches = Seq(
+      Future {
+        Snapshot.stage(spark, s"$outDir/nodes", "nodes",
+          partitionBy = Seq("entType", "bucket"), parent = "canon") {
+          Materialize.nodes(triples.as[graft.model.Triple], canonMap)
+        }
+        Snapshot.stage(spark, s"$outDir/edges", "edges",
+          partitionBy = Seq("objType", "bucket"), parent = "canon") {
+          Materialize.edges(triples.as[graft.model.Triple], canonMap)
+        }
+      },
+      Future {
+        Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
+          Pipeline.groupTriples(spark).toDF()
+        }
+        Snapshot.stage(spark, s"$outDir/model_info", "model_info") {
+          graft.canon.FinalTables.modelInfo(spark)
+        }
+        Snapshot.stage(spark, s"$outDir/model_eval_results",
+          "model_eval_results") {
+          graft.canon.FinalTables.modelEvalResults(spark)
+        }
+      },
+      // reference §1.3 final table surface (format parity)
+      Future {
+        Snapshot.stage(spark, s"$outDir/source_segment", "source_segment") {
+          graft.canon.FinalTables.sourceSegment(arts)
+        }
+      },
+      Future {
+        Snapshot.stage(spark, s"$outDir/ner_result", "ner_result") {
+          graft.canon.FinalTables.nerResult(arts)
+        }
+      }
+    )
+    branches.foreach(Await.result(_, Duration.Inf))
   }
 }
