@@ -30,6 +30,45 @@ object FreezeGoldens {
       s"${p.url},${sha256(p.text)}"
     }
 
+  /** Mention-level ensemble goldens (votes / union / strong spans) for the
+    * first 10 fixture pages — pins A6/A7 end-to-end, which the triple
+    * goldens (strong path only) don't reach. Pure computation, no Spark.
+    */
+  def ensembleLines(): Seq[String] = {
+    import graft.ner._
+    val trie = graft.dict.Gazetteer.buildTrie(graft.corpus.Vocab.jiebaDict)
+    val scorers = CrfScorer.productionScorers(trie)
+    val wIdx = Ensembles.weightsIdx(graft.corpus.Fixtures.modelWeights)
+    val out = Seq.newBuilder[String]
+    (0L until 10L).foreach { i =>
+      val p = graft.corpus.Corpus.page(i)
+      if (p.lang == "zh") {
+        val firstLine = p.text.takeWhile(_ != '\n')
+        val source = if (p.url.contains("/med/c/")) "c" else "m"
+        graft.extract.Extract.sections(p.url, firstLine, source, p.text)
+          .flatMap(graft.extract.Extract.sentences)
+          .foreach { sr =>
+            val matches = CrfScorer.dictScan(trie, sr.sentence)
+            val pred = scorers.map(sc =>
+              sc.model -> sc.predictRaw(sr.sentence, matches)).toMap
+            val r = EnsemblesRaw.run(pred, wIdx)
+            def spansOf(t: Tagged, method: String): Unit = {
+              val (tys, sps) = BioRaw.getPositions(t.labels)
+              sps.indices.foreach { k =>
+                val s = BioRaw.spanStart(sps(k))
+                val e = math.min(BioRaw.spanEnd(sps(k)), sr.sentence.length)
+                out += s"${sr.ind}|$method|${sr.sentence.substring(s, e)}|${CrfScorer.Types(tys(k))}|$s|$e"
+              }
+            }
+            spansOf(r.votes, "votes")
+            spansOf(r.union, "union")
+            spansOf(r.strong, "strong")
+          }
+      }
+    }
+    out.result().sorted
+  }
+
   def groupLines(spark: SparkSession): Seq[String] =
     graft.pipeline.Pipeline.groupTriples(spark).collect().toSeq
       .map(g => s"${g.entity1}|${g.entity2}|${g.relation}|${g.sentence}")
@@ -47,6 +86,8 @@ object FreezeGoldens {
       textShaLines().mkString("\n").getBytes("UTF-8"))
     Files.write(Paths.get(s"$GoldenDir/group_triples.golden.txt"),
       groupLines(spark).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$GoldenDir/ensembles.golden.txt"),
+      ensembleLines().mkString("\n").getBytes("UTF-8"))
     println(s"GOLDENS written to $GoldenDir")
     spark.stop()
   }

@@ -43,6 +43,13 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("votes/union/strong ensemble spans set-equal to goldens (A6/A7/A8)") {
+    val expected = golden("ensembles.golden.txt").toSet
+    val actual = FreezeGoldens.ensembleLines().toSet
+    assert(actual == expected,
+      s"+${(actual -- expected).take(3)} -${(expected -- actual).take(3)}")
+  }
+
   test("group-taboo triples set-equal to goldens") {
     val expected = golden("group_triples.golden.txt").toSet
     val actual = FreezeGoldens.groupLines(spark).toSet
