@@ -285,6 +285,15 @@ object SparkEntry {
           (ia, ib, graft.textops.Dedup.exactJaccard(sa, sb))
         }.toDF("id_a", "id_b", "jaccard")
     }),
+    // ---- custom TypedImperativeAggregate: bounded top-k frequent items ----
+    "kg_top_surfaces" -> ((s, _) => {
+      graft.pipeline.Pipeline.triples(s, 30, 4).toDF()
+        .groupBy(col("objType"))
+        .agg(graft.functions.TopKFreq.top_k_freq(col("obj"), 5).as("top5"))
+        .select(col("objType"), explode(col("top5")).as("t"))
+        .select(col("objType"), col("t.item").as("surface"),
+          col("t.cnt").as("n"))
+    }),
     // ---- KG pipeline entries (no SQL oracle: rows-only checks) ----
     "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
     "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF())
