@@ -131,6 +131,32 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_unsold"))
     }),
+    // ---- J-family: semi-join (EXISTS) ----
+    "j_semi_sold_high" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_sold_high"))
+    }),
+    // ---- window frame: running sum (rowsBetween) ----
+    "w_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+    }),
+    // ---- rollup with subtotals (nulls coalesced for cross-engine hash) ----
+    "a_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+    }),
     // ---- A13: mode (deterministic tie-break, not engine-dependent mode()) --
     "a13_mode" -> ((s, dir) => {
       val counts = t(s, dir, "events")
@@ -386,6 +412,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity >= 48)
         |GROUP BY p_brand""".stripMargin,
+    "j_semi_sold_high" ->
+      """SELECT p_brand, count(*) AS n_sold_high FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |GROUP BY p_brand""".stripMargin,
+    "w_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_qty
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+    "a_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        | coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "a13_mode" ->
       """SELECT bucket, event_type AS mode_type, c FROM (
         | SELECT bucket, event_type, c, row_number() OVER
