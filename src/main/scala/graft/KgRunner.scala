@@ -126,6 +126,9 @@ object KgRunner {
         Snapshot.stage(spark, s"$outDir/source_segment", "source_segment") {
           graft.canon.FinalTables.sourceSegment(arts)
         }
+        Snapshot.stage(spark, s"$outDir/corpus_info", "corpus_info") {
+          graft.canon.FinalTables.corpusInfo(arts)
+        }
       },
       Future {
         Snapshot.stage(spark, s"$outDir/ner_result", "ner_result") {

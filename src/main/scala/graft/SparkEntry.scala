@@ -175,6 +175,15 @@ object SparkEntry {
         (row_number().over(Window.orderBy(col("r_name"))) + lit(700000))
           .as("souc_id"))
     }),
+    // ---- P4: sentence split + length guard (explode/split) ----
+    "p4_sentence_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\. ")).as("sentence"))
+        .filter(length(col("sentence")) > 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"))
+    }),
     // ---- P13: null/length guards ----
     "p13_filter_guards" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -437,6 +446,11 @@ object SparkEntry {
     "w2_offset_ids" ->
       """SELECT r_name, CAST(row_number() OVER (ORDER BY r_name) + 700000
         | AS INT) AS souc_id FROM region""".stripMargin,
+    "p4_sentence_split" ->
+      """SELECT doc_id, count(*) AS n_sentences FROM (
+        | SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+        | FROM documents)
+        |WHERE length(sentence) > 3 GROUP BY doc_id""".stripMargin,
     "p13_filter_guards" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,

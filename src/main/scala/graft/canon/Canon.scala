@@ -35,6 +35,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object Canon {
 
+  /** Star-contraction pre-pass for pathologically hot vertices (SURVEY.md
+    * §4.1: ubiquitous surfaces like common symptoms can appear in 10^4+
+    * alias edges — every join round re-shuffles that fan-in onto one key).
+    * For each vertex whose degree exceeds `threshold` × mean, every incident
+    * edge (x, h) is rewritten to (x, m) with m = min(h, min neighbor of h),
+    * plus the witness edge (h, m) — connectivity-preserving (all of h's
+    * neighborhood meets at m, h reaches m directly), and the hot key's
+    * degree drops to 1 before iteration starts.
+    */
+  def preContractHot(edges: DataFrame, threshold: Double = 10.0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst")
+    val deg = sym.groupBy($"dst").agg(count(lit(1)).as("d"))
+    val meanD = deg.agg(avg($"d")).first().getDouble(0)
+    val hot = deg.filter($"d" > lit(meanD * threshold))
+      .select($"dst".as("h"))
+    if (hot.isEmpty) return edges
+    val hotMin = sym.join(hot, sym("dst") === hot("h"))
+      .groupBy($"h").agg(least(min($"src"), first($"h")).as("m"))
+    val hm = broadcast(hotMin) // hot set is small by construction
+    // rewrite both endpoints through the hot→m mapping, keep witness edges
+    val rewritten = edges
+      .join(hm.select($"h".as("src"), $"m".as("srcM")), Seq("src"), "left")
+      .join(hm.select($"h".as("dst"), $"m".as("dstM")), Seq("dst"), "left")
+      .select(coalesce($"srcM", $"src").as("src"),
+        coalesce($"dstM", $"dst").as("dst"))
+    rewritten.union(hotMin.select($"h".as("src"), $"m".as("dst")))
+  }
+
   /** edges: DataFrame(src: Long, dst: Long), undirected.
     * Returns DataFrame(v: Long, component: Long) covering every vertex
     * appearing in the edge set; component = min vertex id in the component.

@@ -102,6 +102,29 @@ object FinalTables {
       "entity_conf", "crte_time", "crter")
   }
 
+  /** corpus_info with the source_type classification when-chain
+    * (clean_and_save.py:1096-1105: id prefix → human-readable kind).
+    */
+  def corpusInfo(arts: Dataset[SentenceArtifacts])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    arts.map(a => (a.row.source, a.row.book)).toDF("corpus", "book")
+      .distinct()
+      .withColumn("source_id", soucId(col("corpus"), col("book")))
+      .withColumn("source_type",
+        when(col("source_id").startsWith("P"), lit("临床路径"))
+          .when(col("source_id") === "CSV00", lit("临床指南"))
+          .when(col("source_id") === "CSV01", lit("操作手册"))
+          .when(col("source_id") === "CSV02", lit("药品说明书"))
+          .when(col("source_id").startsWith("JSN"), lit("药品说明书"))
+          .when(col("source_id").startsWith("CSV"), lit("资料库"))
+          .when(col("source_id").startsWith("TXTC"), lit("临床指南"))
+          .when(col("source_id").startsWith("TXTM"), lit("操作手册"))
+          .otherwise(lit("")))
+      .withColumn("crte_time", lit(CrteTime))
+      .withColumn("crter", lit(Crter))
+  }
+
   /** model_info + model_eval_results metadata (clean_and_save.py:711-790)
     * from the deterministic fixtures.
     */

@@ -41,6 +41,29 @@ class CanonSpec extends AnyFunSuite {
     assert((1L to 61L).forall(v => m(v) == 1L))
   }
 
+  test("preContractHot preserves components and de-skews the hub") {
+    import spark.implicits._
+    // hub 500 with 150 spokes + a chain attached to one spoke
+    val edges = (1L to 150L).map(s => (500L, s)) ++
+      Seq((1L, 601L), (601L, 602L), (700L, 701L))
+    val df = edges.toDF("src", "dst")
+    val contracted = graft.canon.Canon.preContractHot(df, threshold = 3.0)
+    // hub degree after contraction: exactly 1 (the witness edge)
+    val sym = contracted.select(col("src")).union(contracted.select(col("dst")))
+    val hubDeg = sym.filter(col("src") === 500L).count()
+    assert(hubDeg == 1L, s"hub degree $hubDeg")
+    // CC over contracted graph = CC over original
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      graft.canon.Canon.connectedComponents(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = labels(df)
+    val b = labels(contracted)
+    // same partition of the original vertex set
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(verts.forall(v => a(v) == b(v)),
+      verts.filter(v => a(v) != b(v)).take(5).toString)
+  }
+
   test("label is always a member of the component (partition validity)") {
     val edges = Seq((7L, 3L), (3L, 9L), (12L, 15L))
     val m = cc(edges)
