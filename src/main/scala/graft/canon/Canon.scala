@@ -122,14 +122,17 @@ object Canon {
     */
   def canonicalize(
       nodes: DataFrame, // (surface, entType)
-      aliasEdges: DataFrame // (src, dst) over hashed ids
+      aliasEdges: DataFrame, // (src, dst) over hashed ids
+      skewThreshold: Double = 50.0
   ): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val withId = nodes
       .withColumn("v", xxhash64(concat_ws("|", $"surface", $"entType"))
         .bitwiseAND(lit(Long.MaxValue)))
-    val cc = connectedComponents(aliasEdges)
+    // live skew guard: hot alias hubs (ubiquitous surfaces) pre-contracted
+    // before iteration; connectivity- and label-preserving (see spec)
+    val cc = connectedComponents(preContractHot(aliasEdges, skewThreshold))
     // vertices not in any edge keep their own id as component
     withId.join(cc, Seq("v"), "left")
       .withColumn("canonId", coalesce($"component", $"v"))
