@@ -90,7 +90,11 @@ object Bench {
       (n, sec, tasks / ctrlSec)
     }
 
-    val levels = Seq(4, 8, 16, 32).filter(_ <= cpus)
+    // robust against arbitrary SPARK_GRAFT_CPUS values (12, 6, 2, ...):
+    // the measured pair is (lo, hi) = (smallest level, largest level ≤ 16
+    // physical threads), with cpus itself always included
+    val levels = ((Seq(4, 8, 16, 32).filter(_ < cpus) :+ cpus)
+      :+ math.max(cpus / 4, 1)).distinct.sorted
     val runs = scala.collection.mutable.Map.empty[Int, (Long, Double)]
     val ctrls = scala.collection.mutable.Map.empty[Int, Double]
     for (pass <- 1 to 2; l <- levels) {
@@ -98,23 +102,24 @@ object Bench {
       if (!runs.contains(l) || sec < runs(l)._2) runs(l) = (n, sec)
       if (!ctrls.contains(l) || ctrl > ctrls(l)) ctrls(l) = ctrl
     }
-    val controlEff =
-      (ctrls(math.min(16, cpus)) / ctrls(4)) / (math.min(16, cpus) / 4.0)
+    val lo = levels.head
+    val hi = levels.filter(_ <= 16).lastOption.getOrElse(levels.last)
+    val controlEff = (ctrls(hi) / ctrls(lo)) / (hi.toDouble / lo)
     results += "cpu_control_efficiency" -> controlEff
     levels.foreach { l =>
       val (n, sec) = runs(l)
       results += s"kg_pipeline_t$l" -> sec
       results += s"kg_triples_per_sec_t$l" -> n / sec
     }
-    val (n16, s16) = runs(math.min(16, cpus))
-    val (n4, s4) = runs(4)
-    val eff = ((n16 / s16) / (n4 / s4)) / (math.min(16, cpus) / 4.0)
+    val (nHi, sHi) = runs(hi)
+    val (nLo, sLo) = runs(lo)
+    val eff = ((nHi / sHi) / (nLo / sLo)) / (hi.toDouble / lo)
     results += "scaling_efficiency_raw" -> eff
     // capacity-normalized: pipeline scaling relative to what the host's
     // per-core capacity curve permits (1.0 = scales exactly as well as
     // embarrassingly-parallel pure CPU on this box)
     results += "scaling_efficiency" -> math.min(eff / controlEff, 1.0)
-    if (runs.contains(32)) {
+    if (runs.contains(32) && runs.contains(8)) {
       val (n32, s32) = runs(32)
       val (n8, s8) = runs(8)
       results += "scaling_efficiency_smt_8_32" -> ((n32 / s32) / (n8 / s8)) / 4.0

@@ -63,7 +63,8 @@ object KgRunner {
     // persisting the fat nested rows costs ~3x the recompute (serializing
     // Seq[Token]/Seq[EntityRow] per row) — when compute < serialization,
     // caching is a pessimization. Determinism makes recompute safe.
-    def arts = Pipeline.artifacts(Corpus.pages(spark, nPages, par * 4))
+    val b = Pipeline.broadcasts(spark) // built + shipped once for all stages
+    def arts = Pipeline.artifacts(Corpus.pages(spark, nPages, par * 4), b)
 
     val triples = Snapshot.stage(spark, s"$outDir/triples", "triples") {
       Triples.fromArtifacts(arts).toDF()
@@ -74,8 +75,6 @@ object KgRunner {
         parent = "triples") {
         Link.mentionTokens(arts)
       }
-
-    val b = Pipeline.broadcasts(spark)
     val links = Snapshot.stage(spark, s"$outDir/links", "links",
       parent = "mention_tokens") {
       Link.linkTableFromTokens(mentionTokens, b.trie, Ontology.jiebaReverse)

@@ -51,7 +51,9 @@ object Canon {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
     val deg = sym.groupBy($"dst").agg(count(lit(1)).as("d"))
-    val meanD = deg.agg(avg($"d")).first().getDouble(0)
+    val meanRow = deg.agg(avg($"d")).first()
+    if (meanRow.isNullAt(0)) return edges // empty edge set
+    val meanD = meanRow.getDouble(0)
     val hot = deg.filter($"d" > lit(meanD * threshold))
       .select($"dst".as("h"))
     if (hot.isEmpty) return edges

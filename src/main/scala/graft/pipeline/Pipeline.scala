@@ -36,8 +36,15 @@ object Pipeline {
   }
 
   def artifacts(pages: Dataset[Page])(
+      implicit spark: SparkSession): Dataset[Annotate.SentenceArtifacts] =
+    artifacts(pages, broadcasts(spark))
+
+  /** Overload with caller-owned broadcasts — multi-stage runners build the
+    * trie/weight broadcasts ONCE and reuse them across every consuming stage
+    * (rebuilding per stage re-ships the dictionary to every executor).
+    */
+  def artifacts(pages: Dataset[Page], b: Broadcasts)(
       implicit spark: SparkSession): Dataset[Annotate.SentenceArtifacts] = {
-    val b = broadcasts(spark)
     val secs = Extract.sectionsOf(pages)
     val sents = Extract.sentencesOf(secs)
     Annotate.annotate(sents, b.trie, b.weights, b.eval, b.refined, b.suffix)

@@ -1,6 +1,6 @@
 package graft.snapshot
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,8 +32,15 @@ object Snapshot {
 
   def manifestPath(dir: String): String = s"$dir/_manifest.json"
 
-  def exists(dir: String): Boolean =
-    Files.exists(Paths.get(manifestPath(dir)))
+  /** All manifest IO goes through the Hadoop FileSystem of the target path,
+    * so snapshots gate correctly on hdfs:// and s3a:// outDirs as well as
+    * local paths (the spark-submit cluster case, not just the sandbox).
+    */
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new HPath(manifestPath(dir)))
 
   /** Write df → dir (overwrite), then commit the manifest. `partitionBy`
     * columns become physical partitions (e.g. entity type + url-hash
@@ -69,7 +76,9 @@ object Snapshot {
           .toMap
       } else Map("all" -> written.count())
     val m = Manifest(stage, partCounts.values.sum, partCounts, parent)
-    Files.writeString(Paths.get(manifestPath(dir)), toJson(m))
+    val out = fs(spark, dir).create(new HPath(manifestPath(dir)), true)
+    try out.write(toJson(m).getBytes("UTF-8"))
+    finally out.close()
     m
   }
 
@@ -83,7 +92,7 @@ object Snapshot {
       partitionBy: Seq[String] = Nil,
       parent: String = ""
   )(compute: => DataFrame): DataFrame = {
-    if (!exists(dir)) {
+    if (!exists(spark, dir)) {
       val t0 = System.nanoTime()
       write(compute, dir, name, partitionBy, parent)
       System.err.println(

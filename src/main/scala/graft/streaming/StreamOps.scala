@@ -84,6 +84,12 @@ object StreamOps {
     * memory sink. Returns the query; caller awaits termination/snapshots the
     * sink table. Used by the demo/driver — production would swap source/sink
     * for Kafka/Iceberg without touching `windowedCounts`.
+    *
+    * Append-mode semantics on a BOUNDED replay: windows newer than
+    * (max event time − watermark) are correctly withheld when the stream
+    * ends — the emitted rows are a strict subset of the batch result, never
+    * different. Callers needing the tail must use Update/Complete mode or a
+    * final batch pass.
     */
   def replayToMemorySink(
       spark: SparkSession,

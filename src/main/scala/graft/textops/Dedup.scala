@@ -82,7 +82,9 @@ object Dedup {
         (id, minhashSignature(sh), sh)
       }
       .toDF("id", "sig", "shingles")
-      .persist()
+    // no persist: the signature map is cheap to recompute (row-local
+    // hashing) and a cached copy would outlive the call (storage leak in
+    // long-lived sessions)
 
     // banding: (band, hash(sig slice)) buckets
     val banded = sigs.as[(Long, Array[Long], Array[Long])]
@@ -163,7 +165,6 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("id", "sig")
-      .persist()
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
     }.toDF("band", "chunk", "id")

@@ -46,22 +46,8 @@ object TextOps {
   }
 
   // ---- quality scoring ----------------------------------------------------
-
-  /** Column-level quality features computable identically in DuckDB (only
-    * length/replace arithmetic — no engine-specific regex classes):
-    * words = spaces+1, mean word length ×100 as integer.
-    */
-  def qualityCols(text: Column): Seq[(String, Column)] = {
-    val len = length(text)
-    val spaces = len - length(regexp_replace(text, " ", ""))
-    val words = spaces + 1
-    Seq(
-      "n_chars2" -> len.cast("long"),
-      "n_words" -> words.cast("long"),
-      "mean_word_len_x100" ->
-        (((len - spaces) * 100) / words).cast("long")
-    )
-  }
+  // (column-level quality features live in SparkEntry's tq_quality_cols,
+  // the oracle-checked integer-div formulation)
 
   /** Scalar quality score in [0,1] (length, word-shape, alpha ratio) —
     * the composite the SQL oracle can't express; rows-only checked.
@@ -86,7 +72,8 @@ object TextOps {
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
   def bpeTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(text, '$bpeTokenPattern', 0)"))
+    size(call_function("regexp_extract_all", text, lit(bpeTokenPattern),
+      lit(0)))
 
   // ---- fingerprinting -----------------------------------------------------
 

@@ -24,9 +24,17 @@ object Skew {
     * result is deterministic and the pre-aggregate splits any hot key across
     * `salts` reducers.
     */
+  /** The salt must vary WITHIN a hot key's rows — identical rows (the exact
+    * hot-count case) hash identically, so a content-derived salt would put
+    * the whole hot key back on one reducer. spark_partition_id varies across
+    * the input split instead; the salt only routes the PARTIAL aggregate, so
+    * the final result is partitioning-independent either way.
+    */
+  private def rowSalt(salts: Int): Column =
+    pmod(spark_partition_id().cast("long"), lit(salts.toLong))
+
   def saltedCount(df: DataFrame, keyCols: Seq[String], salts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", rowSalt(salts))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -40,8 +48,7 @@ object Skew {
       valueCol: String,
       salts: Int = 16
   ): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", rowSalt(salts))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -54,7 +61,8 @@ object Skew {
     */
   def hotKeys(df: DataFrame, keyCols: Seq[String], threshold: Double = 10.0): DataFrame = {
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val meanN = counts.agg(avg(col("n"))).first().getDouble(0)
-    counts.filter(col("n") > lit(meanN * threshold))
+    val meanRow = counts.agg(avg(col("n"))).first()
+    if (meanRow.isNullAt(0)) counts // empty input → no hot keys
+    else counts.filter(col("n") > lit(meanRow.getDouble(0) * threshold))
   }
 }

@@ -135,7 +135,7 @@ class SnapshotSpec extends AnyFunSuite {
       Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     }
     assert(computes == 1 && df1.count() == 3)
-    assert(Snapshot.exists(dir))
+    assert(Snapshot.exists(spark, dir))
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(Snapshot.manifestPath(dir)))
     assert(manifest.contains(""""rows":3"""))
