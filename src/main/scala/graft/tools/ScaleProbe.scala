@@ -7,8 +7,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val pages = args(1).toLong
+    // SPARK_MASTER override enables real multi-executor measurement, e.g.
+    // SPARK_MASTER=local-cluster[4,4,4096] (4 executor JVMs × 4 cores)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
