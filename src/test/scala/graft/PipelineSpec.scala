@@ -138,3 +138,10 @@ class EndToEndSpec extends AnyFunSuite {
     assert(gts.forall(g => Seq("孕妇", "儿童", "老人").contains(g.entity2)))
   }
 }
+
+class EntrySmokeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("driver contract: SparkEntry.entry returns rows on a fresh session") {
+    val n = graft.SparkEntry.entry(SparkTestBase.spark).count()
+    assert(n > 0, s"entry produced $n rows")
+  }
+}
