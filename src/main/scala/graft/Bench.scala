@@ -97,10 +97,15 @@ object Bench {
       :+ math.max(cpus / 4, 1)).distinct.sorted
     val runs = scala.collection.mutable.Map.empty[Int, (Long, Double)]
     val ctrls = scala.collection.mutable.Map.empty[Int, Double]
-    for (pass <- 1 to 2; l <- levels) {
-      val (n, sec, ctrl) = levelVisit(l)
-      if (!runs.contains(l) || sec < runs(l)._2) runs(l) = (n, sec)
-      if (!ctrls.contains(l) || ctrl > ctrls(l)) ctrls(l) = ctrl
+    // 3 passes, alternating direction, min per level: host capacity drifts
+    // over minutes, so no level systematically samples a better phase
+    for (pass <- 1 to 3) {
+      val order = if (pass % 2 == 1) levels else levels.reverse
+      order.foreach { l =>
+        val (n, sec, ctrl) = levelVisit(l)
+        if (!runs.contains(l) || sec < runs(l)._2) runs(l) = (n, sec)
+        if (!ctrls.contains(l) || ctrl > ctrls(l)) ctrls(l) = ctrl
+      }
     }
     val lo = levels.head
     val hi = levels.filter(_ <= 16).lastOption.getOrElse(levels.last)
