@@ -283,9 +283,18 @@ object SparkEntry {
           .as("rh"))
         .agg(count(lit(1)).as("n"))
     }),
+    // array columns projected to scalar digests: the driver's pandas-based
+    // oracle harness can't hash ndarray cells, and the digests pin the exact
+    // array contents anyway (the array-valued API stays underneath)
     "mm_features" -> ((s, _) => {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaTable(s, 200))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("resized_w"), col("resized_h"),
+          xxhash64(col("features").cast("string")).as("features_digest"),
+          size(col("frame_offsets")).as("n_frames"),
+          xxhash64(col("frame_offsets").cast("string"))
+            .as("frames_digest"))
     }),
     // ---- A11: seen/unseen dictionary words (distinct + except) ----
     "kg_seen_unseen" -> ((s, _) => {

@@ -82,18 +82,27 @@ object Ontology {
     */
   val fuzzyMiddleTags: Seq[String] = jiebaKeyOrder
 
-  /** Type → ontology id (config.yaml:100-114 `ontology_mapping`). */
+  /** Type → ontology id — the reference's exact `ontology_mapping`
+    * (config.yaml:100-114, all 14 entries verbatim, including the auxiliary
+    * DEG/FW/DUR/MAT rows and the deliberate BFL/OBJ and MAT/EQM id shares).
+    * These ids flow into source_segment.head_onto_id and ner_result.onto_id,
+    * so exact parity is an output-format invariant (pinned in OntologySpec).
+    */
   val ontologyMapping: Map[String, String] = Map(
     "DIS" -> "omahaT018",
-    "BFL" -> "omahaT023",
-    "EQM" -> "omahaT022",
-    "SUR" -> "omahaT007",
-    "SYM" -> "omahaT004",
-    "TES" -> "omahaT019",
+    "SYM" -> "omahaT001",
+    "BFL" -> "omahaT005",
+    "DEG" -> "omahaT028",
+    "FW" -> "omahaT044",
+    "TES" -> "omahaT065",
     "ORG" -> "omahaT010",
-    "DRU" -> "omahaT047",
-    "OGN" -> "omahaT090",
-    "OBJ" -> "omahaT996"
+    "OGN" -> "omahaT011",
+    "SUR" -> "omahaT002",
+    "MAT" -> "omahaT033",
+    "DRU" -> "omahaT004",
+    "OBJ" -> "omahaT005",
+    "DUR" -> "omahaT054",
+    "EQM" -> "omahaT033"
   )
 
   /** The 4 CRF-style scorer/model codes mirroring the reference's prediction

@@ -63,6 +63,66 @@ object Dedup {
     if (union == 0) 1.0 else sa.intersect(sb).size.toDouble / union
   }
 
+  /** Per-bucket candidate generation with the MaxBucket cap, shared by the
+    * MinHash and SimHash paths. Input (band, bucket, id); output distinct
+    * (id_a, id_b) with id_a < id_b.
+    *
+    * Truncation is OBSERVABLE, not silent ("cap + count" contract): the
+    * bucket stage carries an `observe` with named metrics
+    * (`truncated_buckets`, `dropped_ids`, `max_bucket_size`) surfaced to any
+    * QueryExecutionListener and to `df.queryExecution.observedMetrics` after
+    * an action; [[bucketStats]] gives the same numbers as a first-class
+    * audit query.
+    */
+  private def cappedPairs(
+      banded: DataFrame, metricName: String): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n_total"),
+        slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
+      .filter(size($"ids") > 1)
+      .observe(metricName,
+        sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))
+          .as("truncated_buckets"),
+        sum(greatest($"n_total" - MaxBucket, lit(0L))).as("dropped_ids"),
+        max($"n_total").as("max_bucket_size"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
+          .stripMargin)).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+  }
+
+  /** Audit view of the MinHash LSH bucket distribution:
+    * (band, bucket, n_total, truncated). Run this to quantify how many
+    * candidate ids the MaxBucket cap drops on a given corpus (boilerplate-
+    * heavy crawls are the risk case).
+    */
+  def minhashBucketStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(shingles(text))
+        (0 until Bands).map { b =>
+          var h = 0xcafe_babeL ^ b.toLong
+          var r = 0
+          while (r < RowsPerBand) {
+            h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+          }
+          (b, h, id)
+        }
+      }.toDF("band", "bucket", "id")
+      .groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("truncated", $"n_total" > MaxBucket)
+  }
+
   /** MinHash+LSH candidate pairs with exact n-gram-Jaccard verification.
     * Input df must have (id: Long, text: String). Output:
     * (id_a, id_b, est_sim, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -99,16 +159,7 @@ object Dedup {
         }
       }.toDF("band", "bucket", "id")
 
-    val pairs = banded
-      .groupBy($"band", $"bucket")
-      .agg(slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
-          .stripMargin)).as("p"))
-      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
-      .distinct()
+    val pairs = cappedPairs(banded, "graft.dedup.minhash_buckets")
 
     // verification: exact Jaccard on shingle sets
     val shA = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"),
@@ -167,17 +218,8 @@ object Dedup {
       .toDF("id", "sig")
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
-    }.toDF("band", "chunk", "id")
-    val pairs = banded
-      .groupBy($"band", $"chunk")
-      .agg(slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
-          .stripMargin)).as("p"))
-      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
-      .distinct()
+    }.toDF("band", "bucket", "id")
+    val pairs = cappedPairs(banded, "graft.dedup.simhash_buckets")
     pairs
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
       .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")

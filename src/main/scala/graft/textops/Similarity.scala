@@ -19,7 +19,11 @@ import graft.util.Hashing
 object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in double —
-    * pure `functions._` (codegen'd, no UDF).
+    * pure `functions._` (codegen'd, no UDF). Zero-norm vectors yield NULL
+    * (try_divide: 0/0 would throw under ANSI mode, NaN without it — and NaN
+    * sorts GREATEST under `desc`, outranking every real neighbor); ranking
+    * paths map that NULL to -1.0 via [[simOrNeg]] so degenerate vectors sort
+    * last instead of first or crashing the job.
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
@@ -28,8 +32,12 @@ object Similarity {
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val nb = sqrt(aggregate(b, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
+    try_divide(dot, na * nb)
   }
+
+  /** Hardened rounded cosine for ranking: zero-norm → -1.0 (sorts last). */
+  private def simOrNeg(a: Column, b: Column): Column =
+    coalesce(nanvl(round(cosine(a, b), 6), lit(-1.0)), lit(-1.0))
 
   /** Exact brute-force top-k: queries (small) broadcast × corpus, cosine,
     * window top-k per query. Output (query_id, neighbor_id, sim, rank).
@@ -46,7 +54,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val scored = embeddings.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+      .withColumn("sim", simOrNeg($"q_emb", $"embedding"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -120,7 +128,7 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"q_emb", $"vec_id", $"embedding")
       .distinct() // a pair can collide in several tables
-      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+      .withColumn("sim", simOrNeg($"q_emb", $"embedding"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -133,24 +141,34 @@ object Similarity {
     * their nprobe nearest cells. The second scale path beside sign-LSH —
     * better recall/cost trade when the data has cluster structure.
     *
-    * Scale shape: training aggregates are algebraic (map-side combinable);
-    * assignment is a broadcast-centroid narrow map; search shuffles once on
-    * cell id. Deterministic: initial centroids are hash-picked rows, fixed
+    * Scale shape: quantizer training reads a bounded hash-capped sample
+    * (distributed top-K, driver memory O(maxTrain)); assignment is a
+    * broadcast-centroid narrow map; search shuffles once on cell id.
+    * Deterministic: sample and initial centroids are hash-picked, fixed
     * iteration count, ties broken by cell index.
     */
   def kmeansCentroids(
       embeddings: DataFrame, // (vec_id, embedding)
       nlist: Int = 16,
       iters: Int = 5,
-      dim: Int = 64
+      dim: Int = 64,
+      maxTrain: Int = 4096
   ): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val data = embeddings.select($"vec_id", $"embedding")
-      .as[(Long, Seq[Float])].collect() // quantizer training set: a SAMPLE
-    // at real scale — here the corpus is small; production trains on
-    // .sample(fraction) with the same determinism
-    val sample = data.sortBy(_._1)
+    // Quantizer training set: deterministic hash-capped sample. orderBy+limit
+    // plans as TakeOrderedAndProject — each partition keeps its local
+    // top-maxTrain by xxhash64(vec_id) and the driver merges, so driver
+    // memory is O(maxTrain) REGARDLESS of corpus size (the round-1 version
+    // collected the whole table — a driver OOM at real scale). The hash
+    // order is a uniform pseudo-random permutation, so the cap is an
+    // unbiased sample; ties (none for distinct ids) break by vec_id.
+    val sample = embeddings.select($"vec_id", $"embedding")
+      .orderBy(xxhash64($"vec_id").asc, $"vec_id".asc)
+      .limit(maxTrain)
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1)
+    if (sample.isEmpty) return Array.empty // empty corpus → no quantizer
     var centroids = Array.tabulate(nlist) { k =>
       val idx = (Hashing.mix(0x1f5eedL, k.toLong) & Long.MaxValue) %
         sample.length
@@ -201,8 +219,13 @@ object Similarity {
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = spark.sparkContext.broadcast(
-      kmeansCentroids(embeddings, nlist, 5, dim))
+    val trained = kmeansCentroids(embeddings, nlist, 5, dim)
+    if (trained.isEmpty) { // empty corpus: empty result, stable schema
+      return embeddings.limit(0).select(
+        $"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0).as("rank"))
+    }
+    val cents = spark.sparkContext.broadcast(trained)
     def dist2(v: Seq[Float], c: Array[Double]): Double = {
       var d = 0.0
       var i = 0
@@ -233,7 +256,7 @@ object Similarity {
         explode(probeUdf($"embedding")).as("cell"))
     val scored = cells.join(queries, "cell")
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("sim", round(cosine($"q_emb", $"embedding"), 6))
+      .withColumn("sim", simOrNeg($"q_emb", $"embedding"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))

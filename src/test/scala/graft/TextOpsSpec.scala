@@ -105,6 +105,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("LSH bucket truncation is observable: stats view + observed metrics") {
+    import spark.implicits._
+    // 60 identical docs land in one bucket per band — over the MaxBucket=50
+    // cap, so candidates are dropped and the drop must be visible
+    val boiler = (0L until 60L)
+      .map(i => (i, "the same boilerplate text repeated again and again here"))
+      .toDF("doc_id", "text")
+    val stats = Dedup.minhashBucketStats(boiler, "doc_id", "text").collect()
+    val truncated = stats.filter(_.getBoolean(3))
+    assert(truncated.nonEmpty, "no truncated bucket reported")
+    assert(truncated.forall(_.getLong(2) == 60L))
+    // the observe() metric on the pair path reports the same drop
+    val pairs = Dedup.minhashLsh(boiler, "doc_id", "text", 0.5)
+    pairs.collect()
+    val m = pairs.queryExecution.observedMetrics("graft.dedup.minhash_buckets")
+    assert(m.getAs[Long]("truncated_buckets") == Dedup.Bands.toLong)
+    assert(m.getAs[Long]("dropped_ids") == Dedup.Bands.toLong * 10)
+    assert(m.getAs[Long]("max_bucket_size") == 60L)
+  }
+
+  test("empty embeddings: no quantizer, empty IVF result (no crash)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kmeansCentroids(empty).isEmpty)
+    val res = Similarity.ivfTopK(empty, Seq(0L, 1L), 3)
+    assert(res.count() == 0)
+    assert(res.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "sim", "rank"))
+  }
+
+  test("zero-norm vectors never outrank real neighbors (NaN guard)") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val zero = Seq((99999999L, Seq.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val all = base.unionByName(zero)
+    val top = Similarity.bruteForceTopK(all, Seq(0L), 3).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getLong(1) != 99999999L, "zero-norm vector ranked in top-k")
+      assert(!r.getDouble(2).isNaN)
+    }
+  }
+
   test("multimodal: stub features are normalized histograms; resize/frames per kind") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, 90))
       .collect()
