@@ -252,29 +252,67 @@ object SparkEntry {
       graft.textops.Dedup.simhashDedup(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 6)
     }),
+    // sim column intentionally dropped: membership is the oracle-checkable
+    // contract (planted twins at cos≈1 vs organic max 0.51 at sf0.01 — far
+    // from the 0.95 threshold on both sides)
     "dedup_embedding_cos" -> ((s, dir) => {
       graft.textops.Similarity.embeddingNearDup(
         withPerturbedEmbeddings(s, t(s, dir, "embeddings")), 0.95)
+        .select(col("id_a"), col("id_b"))
     }),
-    "tq_langid" -> ((s, dir) => {
+    // planted-twin recovery contracts — each deterministic by construction,
+    // so the oracle is the exact planted list over the base table:
+    //  - minhash: docs ≥250 chars ⇒ ≥40 shingles ⇒ pair-band match prob
+    //    1-(1-j^8)^16 with j=(W-2)/(W-1) ⇒ miss prob < 1e-12
+    //  - simhash: exact copies ⇒ hamming 0 ⇒ same 16-bit chunks in all bands
+    //  - LSH ANN: positive scaling preserves every hyperplane sign ⇒ twin
+    //    shares all buckets; cos(v, 1.0001v)≈1 ⇒ rank-1
+    "dedup_minhash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("n_chars") >= 250)
+      graft.textops.Dedup.minhashLsh(
+        withNearDupes(s, docs), "doc_id", "text", 0.5)
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "dedup_simhash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      graft.textops.Dedup.simhashDedup(
+        docs.unionByName(copies), "doc_id", "text", 6)
+        .filter(col("id_b") === col("id_a") + 10000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "sim_lsh_planted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.textops.Similarity.lshTopK(
+        withPlantedTwins(s, emb), (0L until 20L).toSeq, 1)
+        .select(col("query_id"), col("neighbor_id"))
+    }),
+    // IVF can lose a twin across a cell boundary (nprobe < nlist), so the
+    // contract is a checked recall BOUND, not the exact list
+    "sim_ivf_planted" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (_, txt) => graft.textops.TextOps.langId(txt) }
-        .toDF("pred_lang").groupBy(col("pred_lang"))
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val found = graft.textops.Similarity.ivfTopK(
+        withPlantedTwins(s, emb), (0L until 20L).toSeq, 1)
+        .filter(col("neighbor_id") === col("query_id") + 10000000L)
+        .count()
+      Seq((20L, found >= 17L)).toDF("n_queries", "recall_ok")
+    }),
+    // column-expression language ID (codegen'd; SQL-mirrored for the oracle)
+    "tq_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.textops.TextOps.langIdCol(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),
+    // integer-scaled composite quality score (engine-exact, oracle-checked)
     "tq_quality_score" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("source"), col("text"))
-        .as[(String, String)]
-        .map { case (src, txt) =>
-          (src, graft.textops.TextOps.qualityScore(txt))
-        }
-        .toDF("source", "q")
+      t(s, dir, "documents")
+        .select(col("source"),
+          graft.textops.TextOps.qualityScoreX1e6(col("text")).as("q"))
         .groupBy(col("source"))
-        .agg(round(avg(col("q")), 4).as("avg_quality"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("q")).as("q_sum_x1e6"), count(lit(1)).as("n_docs"))
     }),
     // ---- rolling-hash fingerprint via the native Catalyst expression ----
     "tq_rolling_fingerprint" -> ((s, dir) => {
@@ -313,21 +351,24 @@ object SparkEntry {
       seen.unionByName(unseen)
     }),
     // ---- n-gram Jaccard over adjacent-doc pairs (dedup modality #4) ----
+    // integer (n_inter, n_union) over STRING shingles: exact in both engines
+    // (a double jaccard would hash-mismatch on division rounding)
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, txt) =>
-          (id, graft.textops.Dedup.shingles(txt))
+          (id, graft.textops.Dedup.shingleStrings(txt).distinct)
         }.toDF("doc_id", "sh")
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = docs.select((col("doc_id") - 1).as("id_a"),
         col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, "id_a")
-        .as[(Long, Array[Long], Long, Array[Long])]
-        .map { case (ia, sa, ib, sb) =>
-          (ia, ib, graft.textops.Dedup.exactJaccard(sa, sb))
-        }.toDF("id_a", "id_b", "jaccard")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("n_inter"),
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long")
+            .as("n_union"))
     }),
     // ---- custom TypedImperativeAggregate: bounded top-k frequent items ----
     "kg_top_surfaces" -> ((s, _) => {
@@ -362,6 +403,19 @@ object SparkEntry {
         org.apache.spark.sql.functions.transform(col("embedding"),
           x => (x.cast("double") * lit(1.001)).cast("float")))
     emb.unionByName(pert)
+  }
+
+  /** Twin per ANN query vector (vec_id < 20 → id+10M, × 1.0001): a positive
+    * scalar multiple keeps every random-hyperplane dot-product sign, so the
+    * twin shares ALL sign-LSH buckets with its query deterministically.
+    */
+  private def withPlantedTwins(s: SparkSession, emb: DataFrame): DataFrame = {
+    val twins = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0001)).cast("float")))
+    emb.unionByName(twins)
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -494,6 +548,54 @@ object SparkEntry {
         | CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 3)))
         |   AS BIGINT) AS total_tokens,
         | count(*) AS n_docs
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "tq_langid" ->
+      s"""SELECT ${graft.textops.TextOps.langIdSql("documents.text")} AS pred_lang,
+         | count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
+    "tq_quality_score" ->
+      s"""SELECT source,
+         | CAST(sum(${graft.textops.TextOps.qualityScoreX1e6Sql("documents.text")}) AS BIGINT) AS q_sum_x1e6,
+         | count(*) AS n_docs
+         |FROM documents GROUP BY source""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |      ELSE list_transform(generate_series(1, len(words)-2),
+        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS n_union
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "dedup_embedding_cos" ->
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
+    "dedup_minhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+        |FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 250""".stripMargin,
+    "dedup_simhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+        |FROM documents""".stripMargin,
+    "sim_lsh_planted" ->
+      """SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "sim_ivf_planted" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    // checks the custom TypedImperativeAggregate (TopKFreq) against a plain
+    // SQL windowed top-k over the SAME dumped triples ({OUT} is substituted
+    // by Verify with the output directory)
+    "kg_top_surfaces" ->
+      """SELECT objType, surface, n FROM (
+        |  SELECT objType, obj AS surface, CAST(count(*) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY objType
+        |      ORDER BY count(*) DESC, obj ASC) AS rn
+        |  FROM read_parquet('{OUT}/kg_triples/*.parquet')
+        |  GROUP BY objType, obj) WHERE rn <= 5""".stripMargin
   )
 }

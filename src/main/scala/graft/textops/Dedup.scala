@@ -39,6 +39,21 @@ object Dedup {
     }
   }
 
+  /** Word n-gram shingles as strings — the un-hashed form of [[shingles]]
+    * (same tiling semantics), for paths that must be recomputable by a SQL
+    * engine (e.g. the DuckDB n-gram-Jaccard oracle). The hashed form stays
+    * the hot-path representation.
+    */
+  def shingleStrings(text: String, n: Int = 3): Array[String] = {
+    if (text == null) return Array.empty
+    val words = text.split(" +").filter(_.nonEmpty)
+    if (words.length < n) {
+      if (words.isEmpty) Array.empty else Array(words.mkString(" "))
+    } else {
+      words.sliding(n).map(_.mkString(" ")).toArray
+    }
+  }
+
   /** MinHash signature: NumHashes permutations via splitmix64 re-mix. */
   def minhashSignature(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)

@@ -45,9 +45,103 @@ object TextOps {
     if (best._2 == 0) "und" else best._1
   }
 
+  /** Column-expression language ID — the distributed, oracle-checkable form
+    * of [[langId]]: pure `functions._` (codegen'd), expressible verbatim in
+    * DuckDB SQL. Semantics: CJK-ratio shortcut over the first 4000 chars,
+    * then stopword-hit argmax over the first 2000 non-letter-split lowercase
+    * tokens; ties break to the lexicographically GREATEST language code
+    * (matching the scalar's maxBy on (score, lang)); zero hits or empty
+    * text → "und".
+    */
+  def langIdCol(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = slice(split(lower(t), "[^\\p{L}]+", -1), 1, 2000)
+    def hits(lang: String): Column =
+      size(filter(toks, tk => tk.isin(stopwords(lang): _*)))
+    val en = hits("en"); val es = hits("es"); val fr = hits("fr")
+    val de = hits("de"); val zh = hits("zh")
+    val head = substring(t, 1, 4000)
+    val cjk = length(regexp_replace(head, "[^\\u4e00-\\u9fff]", ""))
+    val best = greatest(en, es, fr, de, zh)
+    when(length(t) === 0, lit("und"))
+      .when(cjk * 10 > length(head), lit("zh"))
+      .when(best === 0, lit("und"))
+      .when(zh === best, lit("zh"))
+      .when(fr === best, lit("fr"))
+      .when(es === best, lit("es"))
+      .when(en === best, lit("en"))
+      .otherwise(lit("de"))
+  }
+
+  /** The DuckDB mirror of [[langIdCol]], built from the same stopword lists
+    * so the two can never drift. `textExpr` is the SQL expression for the
+    * text column.
+    */
+  def langIdSql(textExpr: String): String = {
+    def hitsSql(lang: String): String = {
+      val inList = stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, tk -> tk IN ($inList)))"
+    }
+    s"""(SELECT CASE
+       |  WHEN length(t) = 0 THEN 'und'
+       |  WHEN length(regexp_replace(substr(t, 1, 4000), '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10
+       |       > length(substr(t, 1, 4000)) THEN 'zh'
+       |  WHEN best = 0 THEN 'und'
+       |  WHEN h_zh = best THEN 'zh'
+       |  WHEN h_fr = best THEN 'fr'
+       |  WHEN h_es = best THEN 'es'
+       |  WHEN h_en = best THEN 'en'
+       |  ELSE 'de' END
+       | FROM (SELECT t, h_en, h_es, h_fr, h_de, h_zh,
+       |        greatest(h_en, h_es, h_fr, h_de, h_zh) AS best
+       |   FROM (SELECT t, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
+       |          ${hitsSql("fr")} AS h_fr, ${hitsSql("de")} AS h_de,
+       |          ${hitsSql("zh")} AS h_zh
+       |     FROM (SELECT t, (string_split_regex(lower(t), '[^\\p{L}]+'))[1:2000] AS toks
+       |       FROM (SELECT coalesce($textExpr, '') AS t)))))""".stripMargin
+  }
+
   // ---- quality scoring ----------------------------------------------------
   // (column-level quality features live in SparkEntry's tq_quality_cols,
   // the oracle-checked integer-div formulation)
+
+  /** Column-expression composite quality score, integer-scaled:
+    * floor(q × 1e6) with q = 0.4·lenScore + 0.3·wordLenScore + 0.3·alphaRatio
+    * (the [[qualityScore]] composite re-based on character/regex features
+    * available identically in SQL). Both engines evaluate the same IEEE
+    * double expression tree and floor() it, so the BIGINT result is
+    * engine-exact — which is what makes the score oracle-checkable where the
+    * scalar double average was not.
+    */
+  def qualityScoreX1e6(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val n = length(t).cast("double")
+    val words = filter(split(t, " +", -1), w => length(w) > 0)
+    val nWords = greatest(size(words).cast("double"), lit(1.0))
+    val sumLen = aggregate(words, lit(0.0),
+      (acc, w) => acc + length(w).cast("double"))
+    val meanWl = sumLen / nWords
+    val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / n
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val wlScore = when(meanWl >= 3.0 && meanWl <= 10.0, lit(1.0))
+      .otherwise(greatest(lit(0.0), lit(1.0) - abs(meanWl - lit(6.5)) / lit(10.0)))
+    when(length(t) === 0, lit(0L)).otherwise(
+      floor((lit(0.4) * lenScore + lit(0.3) * wlScore + lit(0.3) * alpha)
+        * lit(1000000.0)).cast("long"))
+  }
+
+  /** The DuckDB mirror of [[qualityScoreX1e6]] (same expression tree). */
+  def qualityScoreX1e6Sql(textExpr: String): String =
+    s"""(SELECT CASE WHEN length(t) = 0 THEN 0 ELSE CAST(floor((
+       |   0.4 * least(length(t) / 500.0, 1.0)
+       | + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+       |          ELSE greatest(0.0, 1.0 - abs(mwl - 6.5) / 10.0) END)
+       | + 0.3 * (length(regexp_replace(t, '[^\\p{L}]', '', 'g')) / CAST(length(t) AS DOUBLE))
+       | ) * 1000000.0) AS BIGINT) END
+       | FROM (SELECT t, coalesce(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE), 0.0)
+       |          / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mwl
+       |   FROM (SELECT t, list_filter(string_split_regex(t, ' +'), w -> length(w) > 0) AS words
+       |     FROM (SELECT coalesce($textExpr, '') AS t))))""".stripMargin
 
   /** Scalar quality score in [0,1] (length, word-shape, alpha ratio) —
     * the composite the SQL oracle can't express; rows-only checked.
