@@ -135,10 +135,14 @@ object FinalTables {
     }.toDF("model_id", "model_name", "crte_time", "crter")
   }
 
+  /** model_eval_results — DERIVED from data (round-2): MUC-scored model
+    * predictions on the labeled fixture corpus (ModelEval.evalMatrix, the
+    * multi_ner_prediction.py:595-606 flow), not the hashed fixture values.
+    */
   def modelEvalResults(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = for {
-      (src, byModel) <- graft.corpus.Fixtures.evalMatrix.toSeq
+      (src, byModel) <- graft.ner.ModelEval.evalMatrix.toSeq
       (model, byType) <- byModel.toSeq
       (tpe, ms) <- byType.toSeq
     } yield (src, model, tpe, ms(0), ms(1), ms(2), ms(3))

@@ -48,6 +48,54 @@ object Fixtures {
       }.toMap
     }.toMap
 
+  /** Gold-labeled sentence for model evaluation: text + known entity spans
+    * recorded at construction time.
+    */
+  final case class GoldSpan(word: String, tpe: String, start: Int, end: Int)
+  final case class LabeledSentence(sentence: String, gold: Seq[GoldSpan])
+
+  /** Deterministic labeled eval corpus — the synthetic analog of the
+    * reference's held-out labeled data that multi_ner_prediction.py scores
+    * models against. Five entity-bearing templates (mirroring
+    * Corpus.sentence's shapes) covering all 10 essential types; gold offsets
+    * are recorded while the string is assembled, so they are correct by
+    * construction.
+    */
+  def labeledSentences(source: String, n: Int): Seq[LabeledSentence] =
+    (0 until n).map { i =>
+      val key = s"eval|$source|$i"
+      def pk(table: Vector[String], tag: String): String =
+        Vocab.pick(table, key, tag)
+      val b = new StringBuilder
+      val gold = Seq.newBuilder[GoldSpan]
+      def lit(s: String): Unit = b ++= s
+      def ent(w: String, t: String): Unit = {
+        gold += GoldSpan(w, t, b.length, b.length + w.length)
+        b ++= w
+      }
+      ((Hashing.fnv1a64(key + "|tpl") & Long.MaxValue) % 5).toInt match {
+        case 0 =>
+          lit("患者常见"); ent(pk(Vocab.symptoms, "s1"), "SYM")
+          lit("及"); ent(pk(Vocab.symptoms, "s2"), "SYM")
+          lit("，伴"); ent(pk(Vocab.symptoms, "s3"), "SYM"); lit("。")
+        case 1 =>
+          ent(pk(Vocab.diseases, "d1"), "DIS")
+          lit("多由"); ent(pk(Vocab.organisms, "g1"), "OGN")
+          lit("感染引起，可累及"); ent(pk(Vocab.organs, "o1"), "ORG"); lit("。")
+        case 2 =>
+          lit("建议行"); ent(pk(Vocab.tests, "t1"), "TES")
+          lit("，必要时行"); ent(pk(Vocab.surgeries, "u1"), "SUR"); lit("。")
+        case 3 =>
+          lit("可给予"); ent(pk(Vocab.drugs, "r1"), "DRU")
+          lit("治疗，慎用"); ent(pk(Vocab.drugs, "r2"), "DRU"); lit("。")
+        case _ =>
+          lit("术中使用"); ent(pk(Vocab.equipment, "e1"), "EQM")
+          lit("，以"); ent(pk(Vocab.objects, "b1"), "OBJ")
+          lit("消毒，留取"); ent(pk(Vocab.fluids, "f1"), "BFL"); lit("送检。")
+      }
+      LabeledSentence(b.toString, gold.result())
+    }
+
   /** Synthetic drug-instruction rows for the group-taboo path
     * (pre_labeling.py:313-376): (product, womanText, childrenText,
     * agednessText). Some cells deterministically empty to exercise the

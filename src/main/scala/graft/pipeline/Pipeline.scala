@@ -24,12 +24,26 @@ object Pipeline {
       suffix: org.apache.spark.broadcast.Broadcast[Map[String, String]]
   )
 
-  def broadcasts(spark: SparkSession): Broadcasts = {
+  /** Default broadcasts use the FROZEN shipped artifacts
+    * (Fixtures.modelWeights / Fixtures.evalMatrix — the analog of the
+    * reference's pretrained model_weights.json + eval pickles): output
+    * goldens pin these. A retraining flow passes the data-derived matrices
+    * instead (graft.ner.ModelEval.derivedWeights / .evalMatrix) via the
+    * overload below.
+    */
+  def broadcasts(spark: SparkSession): Broadcasts =
+    broadcasts(spark, Fixtures.modelWeights, Fixtures.evalMatrix)
+
+  def broadcasts(
+      spark: SparkSession,
+      weights: Map[String, Map[String, Double]],
+      eval: Map[String, Map[String, Map[String, Array[Double]]]]
+  ): Broadcasts = {
     val sc = spark.sparkContext
     Broadcasts(
       sc.broadcast(Gazetteer.buildTrie(Vocab.jiebaDict)),
-      sc.broadcast(Fixtures.modelWeights),
-      sc.broadcast(Fixtures.evalMatrix),
+      sc.broadcast(weights),
+      sc.broadcast(eval),
       sc.broadcast(Vocab.refinedDict.keySet),
       sc.broadcast(Vocab.suffixDict)
     )

@@ -97,4 +97,59 @@ object Sources {
     ds.flatMap { case (sent, seg) => bioLines(sent, seg) }
       .write.mode(SaveMode.Overwrite).text(path)
   }
+
+  /** NER-type substitution for dictionary-missing auxiliary types
+    * (generation.py:216-238): a model mention whose type is in `notin_types`
+    * and whose [start, end) span EXACTLY equals a seg token's span replaces
+    * that token's type. Mentions containing a list separator (、；，;) are
+    * skipped — the reference treats those as mis-merged enumerations.
+    * Row-local, no shuffle.
+    */
+  val NotinTypes: Set[String] = Set("FW", "DEG", "AT", "DUR", "PSB", "PT")
+
+  private val SeparatorChars = Set('、', '；', '，', ';')
+
+  def substituteNotinTypes(
+      seg: Seq[Token],
+      ner: Seq[graft.model.Mention]
+  ): Seq[Token] = {
+    val candidates = ner.filter(m => NotinTypes.contains(m.tpe) &&
+      !m.word.exists(SeparatorChars.contains))
+    if (candidates.isEmpty) seg
+    else {
+      val byPos = candidates.map(m => (m.start, m.end) -> m.tpe).toMap
+      seg.map { t =>
+        byPos.get((t.start, t.end)) match {
+          case Some(tpe) => t.copy(tag = tpe)
+          case None      => t
+        }
+      }
+    }
+  }
+
+  /** Train/validation/test assignment by corpus ordinal
+    * (generation.py:446-455): i%80==0 → validation, else i%90==0 → test,
+    * else training (so i=0 is validation — the reference checks %80 first).
+    */
+  def bioSplitLabel(i: Long): String =
+    if (i % 80 == 0) "validation"
+    else if (i % 90 == 0) "test"
+    else "training"
+
+  /** S8 with the reference's three-way split: ONE scan, partitioned write —
+    * `path/split=training|validation|test`. Input carries the corpus
+    * ordinal (the reference's enumerate index).
+    */
+  def writeBioSplit(
+      ds: Dataset[(Long, String, Seq[Token])],
+      path: String
+  ): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { case (i, sent, seg) =>
+      val split = bioSplitLabel(i)
+      bioLines(sent, seg).map(l => (split, l))
+    }.toDF("split", "value")
+      .write.partitionBy("split").mode(SaveMode.Overwrite).text(path)
+  }
 }
