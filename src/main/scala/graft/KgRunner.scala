@@ -66,48 +66,16 @@ object KgRunner {
     val b = Pipeline.broadcasts(spark) // built + shipped once for all stages
     def arts = Pipeline.artifacts(Corpus.pages(spark, nPages, par * 4), b)
 
-    val triples = Snapshot.stage(spark, s"$outDir/triples", "triples") {
-      Triples.fromArtifacts(arts).toDF()
-    }
-
-    val mentionTokens =
-      Snapshot.stage(spark, s"$outDir/mention_tokens", "mention_tokens",
-        parent = "triples") {
-        Link.mentionTokens(arts)
-      }
-    val links = Snapshot.stage(spark, s"$outDir/links", "links",
-      parent = "mention_tokens") {
-      Link.linkTableFromTokens(mentionTokens, b.trie, Ontology.jiebaReverse)
-    }
-
-    val canonMap = Snapshot.stage(spark, s"$outDir/canon", "canon",
-      parent = "links") {
-      val allSurfaces = triples
-        .select($"obj".as("surface"), $"objType".as("entType"))
-        .union(triples.select($"subj".as("surface"), $"subjType".as("entType")))
-        .distinct()
-      Canon.canonicalize(allSurfaces, Link.aliasEdges(links))
-    }
-
-    // Independent branches run as CONCURRENT Spark jobs (separate driver
-    // threads; the scheduler interleaves their stages across the same
-    // executors) — nodes/edges depend on canon, but the final tables and
-    // taboo path do not, so they overlap with graph materialization instead
-    // of queuing behind it.
+    // Every stage that depends ONLY on arts starts IMMEDIATELY as a
+    // concurrent Spark job (separate driver threads; the scheduler
+    // interleaves their stages across the same executors). Round 1 queued
+    // the final-table branches behind canon — their serialized latency was
+    // part of the ~30 s scale-independent floor. Only nodes/edges truly
+    // need canon; only links needs mention_tokens.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val branches = Seq(
-      Future {
-        Snapshot.stage(spark, s"$outDir/nodes", "nodes",
-          partitionBy = Seq("entType", "bucket"), parent = "canon") {
-          Materialize.nodes(triples.as[graft.model.Triple], canonMap)
-        }
-        Snapshot.stage(spark, s"$outDir/edges", "edges",
-          partitionBy = Seq("objType", "bucket"), parent = "canon") {
-          Materialize.edges(triples.as[graft.model.Triple], canonMap)
-        }
-      },
+    val independent = Seq(
       Future {
         Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
           Pipeline.groupTriples(spark).toDF()
@@ -135,6 +103,57 @@ object KgRunner {
         }
       }
     )
-    branches.foreach(Await.result(_, Duration.Inf))
+
+    val triplesF = Future {
+      Snapshot.stage(spark, s"$outDir/triples", "triples") {
+        Triples.fromArtifacts(arts).toDF()
+      }
+    }
+    // mention_tokens and links persist as SURFACE-BUCKETED tables: the link
+    // profile aggregations and the canon alias-edge derivation key on
+    // surface, so their first pass over these snapshots reads co-located
+    // buckets instead of exchanging (PlanCheck audits this plan).
+    val mentionTokensF = Future {
+      Snapshot.stageBucketed(spark, s"$outDir/mention_tokens",
+        "graft_mention_tokens", "mention_tokens",
+        bucketCol = "surface", buckets = par, parent = "triples") {
+        Link.mentionTokens(arts)
+      }
+    }
+    val triples = Await.result(triplesF, Duration.Inf)
+    val mentionTokens = Await.result(mentionTokensF, Duration.Inf)
+
+    val links = Snapshot.stageBucketed(spark, s"$outDir/links",
+      "graft_links", "links",
+      bucketCol = "surface", buckets = par, parent = "mention_tokens") {
+      Link.linkTableFromTokens(mentionTokens, b.trie, Ontology.jiebaReverse,
+        prePartitioned = true)
+    }
+    spark.catalog.clearCache() // drop the tf profile cache post-commit
+
+    val canonMap = Snapshot.stage(spark, s"$outDir/canon", "canon",
+      parent = "links") {
+      val allSurfaces = triples
+        .select($"obj".as("surface"), $"objType".as("entType"))
+        .union(triples.select($"subj".as("surface"), $"subjType".as("entType")))
+        .distinct()
+      Canon.canonicalize(allSurfaces, Link.aliasEdges(links))
+    }
+
+    val materialize = Seq(
+      Future {
+        Snapshot.stage(spark, s"$outDir/nodes", "nodes",
+          partitionBy = Seq("entType", "bucket"), parent = "canon") {
+          Materialize.nodes(triples.as[graft.model.Triple], canonMap)
+        }
+      },
+      Future {
+        Snapshot.stage(spark, s"$outDir/edges", "edges",
+          partitionBy = Seq("objType", "bucket"), parent = "canon") {
+          Materialize.edges(triples.as[graft.model.Triple], canonMap)
+        }
+      }
+    )
+    (materialize ++ independent).foreach(Await.result(_, Duration.Inf))
   }
 }

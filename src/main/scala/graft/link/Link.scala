@@ -58,21 +58,51 @@ object Link {
   /** TF-IDF context profiles per surface: contexts are the seg tokens of
     * sentences where the surface was extracted. Returns
     * (surface, token, weight) L2-normalized per surface.
+    *
+    * Shuffle shape (round-2 rework — round 1 shuffled at tf, idf, norms AND
+    * the norm join, plus ran a separate count() job for nSurfaces):
+    *   - ONE surface-hash partitioning up front; tf (groupBy surface,token),
+    *     norms (groupBy surface) and the norm join are all satisfied by it —
+    *     Catalyst inserts no further exchange;
+    *   - idf is a vocabulary-sized aggregate joined back by BROADCAST (the
+    *     gazetteer-driven token vocabulary is dictionary-scale; an open-web
+    *     vocabulary would flip this to a shuffle join);
+    *   - nSurfaces is a broadcast 1-row aggregate inside the same DAG, not a
+    *     driver-side count() job.
+    *
+    * @param prePartitioned input is already hash-distributed by `surface`
+    *   (e.g. read from a surface-bucketed table) — skips the up-front
+    *   repartition so the whole profile computation is EXCHANGE-FREE.
     */
   def contextProfiles(
       mentionContexts: DataFrame, // (surface, token)
-      minIdf: Double = 0.1
+      minIdf: Double = 0.1,
+      prePartitioned: Boolean = false
   ): DataFrame = {
     val spark = mentionContexts.sparkSession
     import spark.implicits._
-    val tf = mentionContexts.groupBy($"surface", $"token")
+    val bySurface =
+      if (prePartitioned) mentionContexts
+      else mentionContexts.repartition($"surface")
+    // tf is the multi-consumer hub (idf, nSurfaces, w, norms all read it):
+    // persist the vocabulary-sized aggregate so the CORPUS-sized input is
+    // scanned exactly once — without it, the exchange-free plan re-scans
+    // the corpus per consumer (no shuffle files to reuse). The cache
+    // preserves the surface partitioning, so downstream stays exchange-free.
+    // Long-lived sessions: clearCache()/unpersist after consuming (the KG
+    // runner does, post-commit).
+    val tf = bySurface.groupBy($"surface", $"token")
       .agg(count(lit(1)).as("tf"))
-    val nSurfaces = tf.select($"surface").distinct().count().toDouble
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurfaces = tf.agg(
+      countDistinct($"surface").cast("double").as("n_surfaces"))
     val idf = tf.groupBy($"token")
       .agg(countDistinct($"surface").as("df"))
-      .withColumn("idf", log(lit(nSurfaces + 1.0) / (col("df") + 1.0)))
+      .crossJoin(broadcast(nSurfaces))
+      .withColumn("idf", log((col("n_surfaces") + 1.0) / (col("df") + 1.0)))
       .filter($"idf" >= minIdf) // prune ubiquitous tokens → no hot-key join
-    val w = tf.join(idf, "token")
+      .drop("n_surfaces")
+    val w = tf.join(broadcast(idf), "token")
       .withColumn("w", $"tf" * $"idf")
     val norms = w.groupBy($"surface")
       .agg(sqrt(sum($"w" * $"w")).as("norm"))
@@ -140,20 +170,27 @@ object Link {
       mentionTokens: DataFrame,
       trieB: Broadcast[Trie],
       typeOfTag: Map[String, String],
-      minScore: Double = 0.3
+      minScore: Double = 0.3,
+      prePartitioned: Boolean = false
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val surfaces = mentionTokens.select($"surface", $"entType").distinct()
       .as[(String, String)]
     val cands = candidates(surfaces, trieB, typeOfTag)
     val profiles = contextProfiles(
-      mentionTokens.select($"surface", $"token"))
+      mentionTokens.select($"surface", $"token"),
+      prePartitioned = prePartitioned)
     val ctxScore = score(cands, profiles)
     val blend = udf { (s: String, c: String, sim: Double) =>
       0.5 * bigramJaccard(s, c) + 0.5 * sim
     }
+    // score rounded to 9dp: the cosine/norm sums are double reductions whose
+    // partial-merge order varies run to run (ULP-level jitter, e.g.
+    // 0.9999999999999999 vs 1.0) — rounding collapses that so the persisted
+    // links snapshot is byte-identical across runs/parallelism like every
+    // other table (the filter then sees a stable value too)
     ctxScore
-      .withColumn("score", blend($"surface", $"candidate", $"sim"))
+      .withColumn("score", round(blend($"surface", $"candidate", $"sim"), 9))
       .filter($"score" >= minScore)
       .select($"surface", $"entType", $"candidate", $"score")
   }

@@ -55,6 +55,48 @@ object PlanCheck {
     println(s"  shuffle-free      : ${!graft.sources.Bucketing.hasExchange(colocated)}")
     spark.sql("DROP TABLE IF EXISTS pc_li_b")
     spark.sql("DROP TABLE IF EXISTS pc_o_b")
+
+    // canon-chain audit: context profiles over a surface-bucketed
+    // mention_tokens table — tf is computed once on the bucketed read (no
+    // exchange), cached, and every consumer (idf, nSurfaces, norms, the
+    // norm join) reads the vocabulary-sized cache; the only data shuffles
+    // are the tiny idf/nSurfaces aggregates over that cache (round 1: four
+    // corpus-keyed shuffles + a separate driver count job). AQE is off for
+    // the audit so the plan TREE can be walked exactly.
+    implicit val s2: org.apache.spark.sql.SparkSession = spark
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val arts = graft.pipeline.Pipeline.artifacts(
+      graft.corpus.Corpus.pages(spark, 40, 4))
+    graft.sources.Bucketing.writeBucketed(
+      graft.link.Link.mentionTokens(arts), "pc_mention_tokens", "surface", 4)
+    val profiles = graft.link.Link.contextProfiles(
+      spark.table("pc_mention_tokens")
+        .select(org.apache.spark.sql.functions.col("surface"),
+          org.apache.spark.sql.functions.col("token")),
+      prePartitioned = true)
+    profiles.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = profiles.queryExecution.executedPlan
+    val shuffles = plan.collectWithSubqueries {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    val hashShuffles = shuffles.count(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    val outerFileScans = plan.collectWithSubqueries {
+      case f: FileSourceScanExec => f
+    }.size
+    val cacheReads = plan.collectWithSubqueries {
+      case c: InMemoryTableScanExec => c
+    }.size
+    println(s"=== link_profiles_bucketed ===")
+    println(s"  hash-shuffle exchanges : $hashShuffles (expect 1: the idf token agg; corpus-keyed: 0)")
+    println(s"  total exchanges        : ${shuffles.size} (idf + the 1-row nSurfaces agg)")
+    println(s"  corpus file scans      : $outerFileScans (expect 0 — tf cache serves all consumers)")
+    println(s"  tf cache reads         : $cacheReads")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS pc_mention_tokens")
     spark.stop()
   }
 }

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Non-blocking observed-metric read (`Observation.getOrEmpty` is
+    * private[sql] in Spark 4): empty map when the observed plan's action has
+    * not completed — lets snapshot counters degrade to a re-read instead of
+    * blocking forever if CollectMetrics ever fails to fire on a write.
+    */
+  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 }
