@@ -314,6 +314,29 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(sum(col("q")).as("q_sum_x1e6"), count(lit(1)).as("n_docs"))
     }),
+    // ---- cluster dedup: rare-feature graph → CC → canonical pick ----
+    // (the KG connected-components engine applied to corpus dedup; the
+    // oracle recomputes components via a recursive-CTE transitive closure —
+    // a full cross-engine check of the CC implementation)
+    "dedup_cluster_pick" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.textops.Dedup.clusterCanonical(
+        docs.select(col("doc_id")),
+        graft.textops.Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2))
+    }),
+    // ---- deterministic stratified sampling (downsample majority lang) ----
+    "tq_sample_stratified" -> ((s, dir) => {
+      graft.textops.TextOps.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 10), defaultRate = 50)
+        .select(col("doc_id"), col("lang"))
+    }),
+    // ---- benchmark-contamination scan (train/test leakage check) ----
+    "tq_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.textops.TextOps.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5).select(col("text")))
+    }),
     // ---- rolling-hash fingerprint via the native Catalyst expression ----
     "tq_rolling_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -587,6 +610,66 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "sim_ivf_planted" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    // shared shingle-set CTE text (string shingles over ' +'-split words,
+    // the Dedup.shingleStrings tiling) reused by several oracles below
+    "dedup_cluster_pick" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |      ELSE list_transform(generate_series(1, len(words)-2),
+        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
+        |        FROM documents)),
+        |expl AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT g, min(doc_id) AS a, max(doc_id) AS b
+        |         FROM expl GROUP BY g HAVING count(*) = 2 AND min(doc_id) != max(doc_id)),
+        |edges AS (SELECT a AS src, b AS dst FROM rare GROUP BY a, b HAVING count(*) >= 2),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |vertices AS (SELECT DISTINCT doc_id AS v FROM documents),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM vertices
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+        |)
+        |SELECT v AS doc_id, cluster, (v = cluster) AS keep FROM (
+        |  SELECT v, min(u) AS cluster FROM reach GROUP BY v)""".stripMargin,
+    "tq_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin,
+    "tq_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |      ELSE list_transform(generate_series(1, len(words)-2),
+        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5),
+        |expl AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM expl JOIN bench USING (g) GROUP BY doc_id""".stripMargin,
+    // the custom codegen RollingHash Expression, recomputed independently in
+    // SQL: per-char fold with HUGEINT mod-2^64 arithmetic replicating JVM
+    // long wraparound, lowercase A-Z, whitespace-run collapse
+    "tq_rolling_fingerprint" ->
+      """SELECT rh, count(*) AS n FROM (
+        | SELECT CAST(CASE WHEN r.h >= 9223372036854775808::HUGEINT
+        |   THEN r.h - 18446744073709551616::HUGEINT ELSE r.h END AS BIGINT) AS rh
+        | FROM documents, LATERAL (
+        |  SELECT list_reduce(
+        |    list_concat([{h: 1125899906842597::HUGEINT, p: false}],
+        |      list_transform(split(text, ''), c -> {h: unicode(c)::HUGEINT, p: false})),
+        |    (acc, x) -> CASE
+        |      WHEN (x.h IN (32, 9, 10, 13)) AND acc.p THEN acc
+        |      WHEN (x.h IN (32, 9, 10, 13)) THEN {h: ((31::HUGEINT * acc.h + 32::HUGEINT) % 18446744073709551616::HUGEINT), p: true}
+        |      ELSE {h: ((31::HUGEINT * acc.h + (CASE WHEN x.h BETWEEN 65 AND 90 THEN x.h + 32 ELSE x.h END)) % 18446744073709551616::HUGEINT), p: false}
+        |    END) AS r))
+        |GROUP BY rh""".stripMargin,
     // checks the custom TypedImperativeAggregate (TopKFreq) against a plain
     // SQL windowed top-k over the SAME dumped triples ({OUT} is substituted
     // by Verify with the output directory)

@@ -194,6 +194,58 @@ object Dedup {
     out
   }
 
+  /** Similarity-graph edges by RARE-FEATURE linking: two documents are
+    * linked when they share at least `minShared` shingles that occur in
+    * EXACTLY two documents corpus-wide (the df=2 inverted-index trick).
+    * Scale shape: explode → one groupBy(shingle) whose output is bounded by
+    * the rare-feature count, then one groupBy(pair) — never all-pairs, and
+    * ubiquitous shingles (df > 2) drop out before the pair stage, so no hot
+    * keys reach the second shuffle.
+    */
+  def sharedRareShingleEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val expl = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        shingleStrings(txt).distinct.map(g => (id, g))
+      }.toDF("id", "g")
+    expl.groupBy($"g")
+      .agg(min($"id").as("src"), max($"id").as("dst"),
+        count(lit(1)).as("df"))
+      .filter($"df" === 2 && $"src" =!= $"dst")
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .select($"src", $"dst")
+  }
+
+  /** Canonical-document selection: connected components over near-duplicate
+    * edges, cluster label = min doc id in the component, keep = the cluster
+    * representative. Reuses the KG canonicalization CC (large/small-star
+    * with pointer jumping and hot-hub pre-contraction) — corpus dedup at
+    * 100 TB IS a graph problem, and this is the same skew-guarded engine.
+    * Output: (doc_id, cluster, keep) covering EVERY input doc (docs in no
+    * edge are their own singleton cluster).
+    */
+  def clusterCanonical(
+      docIds: DataFrame, // (doc_id)
+      edges: DataFrame // (src, dst)
+  ): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    val cc = graft.canon.Canon.connectedComponents(edges)
+    docIds.join(cc, docIds("doc_id") === cc("v"), "left")
+      .select(docIds("doc_id"),
+        coalesce($"component", docIds("doc_id")).as("cluster"))
+      .withColumn("keep", $"doc_id" === $"cluster")
+  }
+
   /** 64-bit SimHash over whitespace tokens (tf-weighted). */
   def simhash(text: String): Long = {
     if (text == null) return 0L

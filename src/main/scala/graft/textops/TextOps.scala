@@ -169,6 +169,64 @@ object TextOps {
     size(call_function("regexp_extract_all", text, lit(bpeTokenPattern),
       lit(0)))
 
+  // ---- deterministic sampling ---------------------------------------------
+
+  /** Deterministic md5 bucket in [0, 100): both engines (Spark, DuckDB)
+    * render the key string identically and md5 is md5, so samples are
+    * reproducible across engines, runs and cluster sizes — the property a
+    * training-data split must have (a rerun or a bigger cluster must never
+    * change which documents are in the training set).
+    */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Stratified deterministic sample: per-stratum keep-rate (percent), e.g.
+    * downsample the majority language. Narrow (no shuffle) — the filter
+    * runs inside the scan stage.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int
+  ): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.filter(md5Bucket(col(keyCol)) < rate)
+  }
+
+  // ---- benchmark contamination ---------------------------------------------
+
+  /** Contamination scan: for each document, the number of distinct n-gram
+    * shingles it shares with the benchmark set (docs sharing ≥1 are
+    * contaminated — the standard train/test-leakage check). The benchmark
+    * side is tiny by construction → broadcast join on exploded shingles;
+    * the corpus side stays a narrow explode + one aggregate.
+    */
+  def contamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame // (text)
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docShingles = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Dedup.shingleStrings(t).distinct.map(g => (id, g))
+      }.toDF("doc_id", "g")
+    val benchShingles = benchmark.select(col("text")).as[String]
+      .flatMap(t => Dedup.shingleStrings(t).distinct)
+      .toDF("g").distinct()
+    docShingles.join(broadcast(benchShingles), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —
