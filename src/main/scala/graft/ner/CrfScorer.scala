@@ -106,8 +106,11 @@ final class CrfScorer(
       i = 0
       while (i < n) {
         val c = sentence.charAt(i).toLong
-        val noise =
-          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, 0L)) - 0.5) * 0.4
+        // noise(c, g) = unit(mix(hc ^ g)) with hc hashed once per char —
+        // one splitmix round per label instead of three (round-2 hot-path
+        // cut; outputs re-frozen deliberately via FreezeGoldens)
+        val hc = Hashing.mix(modelSeed, WSeed ^ c)
+        val noise = (Hashing.unit(Hashing.mix(hc)) - 0.5) * 0.4
         probs(i) = math.min(refSigmoid(2.0 + noise + 1.0), 0.99)
         i += 1
       }
@@ -132,12 +135,15 @@ final class CrfScorer(
     i = 0
     while (i < n) {
       val c = sentence.charAt(i).toLong
+      // per-char hash hoisted out of the label loop: noise per (char,label)
+      // is one splitmix round (was three) — the dominant scorer cost
+      val hc = Hashing.mix(modelSeed, WSeed ^ c)
       val base = i * nA
       var l = 0
       while (l < nA) {
         val g = active(l)
         var e =
-          (Hashing.unit(Hashing.mix(modelSeed, WSeed ^ c, g.toLong)) - 0.5) * 0.4
+          (Hashing.unit(Hashing.mix(hc ^ g.toLong)) - 0.5) * 0.4
         if (l == 0) e += 1.0
         else {
           val t = typeOfLocal(l)
