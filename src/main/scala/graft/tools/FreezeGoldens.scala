@@ -30,9 +30,10 @@ object FreezeGoldens {
       s"${p.url},${sha256(p.text)}"
     }
 
-  /** Mention-level ensemble goldens (votes / union / strong spans) for the
-    * first 10 fixture pages — pins A6/A7 end-to-end, which the triple
-    * goldens (strong path only) don't reach. Pure computation, no Spark.
+  /** Mention-level ensemble goldens (votes / union / strong spans AND
+    * per-span prob min/max) for the first 10 fixture pages — pins A6/A7/A8
+    * end-to-end including the probability paths, which the triple goldens
+    * (strong path only) don't reach. Pure computation, no Spark.
     */
   def ensembleLines(): Seq[String] = {
     import graft.ner._
@@ -57,7 +58,16 @@ object FreezeGoldens {
               sps.indices.foreach { k =>
                 val s = BioRaw.spanStart(sps(k))
                 val e = math.min(BioRaw.spanEnd(sps(k)), sr.sentence.length)
-                out += s"${sr.ind}|$method|${sr.sentence.substring(s, e)}|${CrfScorer.Types(tys(k))}|$s|$e"
+                var pmin = 1.0
+                var pmax = 0.0
+                var j = s
+                while (j < e) {
+                  val p = t.probs(j)
+                  if (p < pmin) pmin = p
+                  if (p > pmax) pmax = p
+                  j += 1
+                }
+                out += f"${sr.ind}|$method|${sr.sentence.substring(s, e)}|${CrfScorer.Types(tys(k))}|$s|$e|$pmin%.9f|$pmax%.9f"
               }
             }
             spansOf(r.votes, "votes")
