@@ -89,6 +89,14 @@ object Canon {
       .withColumn("label", $"v")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Convergence detection: labels only ever DECREASE under min-propagation,
+    // so Σ labels is strictly monotone until the fixpoint — equality of the
+    // exact decimal sum across iterations ⟺ no label changed. The sum is an
+    // OBSERVED metric collected during the localCheckpoint materialization,
+    // so convergence costs zero extra jobs (round 1 ran a labels⋈labels
+    // diff-join + count per iteration). decimal(38,0) keeps the 63-bit id
+    // sums exact (a Long sum would overflow and could alias).
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -99,20 +107,33 @@ object Canon {
         .groupBy($"v").agg(min($"label").as("label"))
       // second hop (pointer-jumping): adopt the label's label — this is what
       // makes convergence logarithmic instead of linear in diameter
+      val obs = org.apache.spark.sql.Observation()
       val jumped = prop.as("p")
         .join(prop.select($"v".as("lv"), $"label".as("llabel")).as("q"),
           col("p.label") === col("q.lv"), "left")
         .select(col("p.v"),
           least(col("p.label"), coalesce(col("q.llabel"), col("p.label")))
             .as("label"))
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint(eager = true)
-      val changed = jumped.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val sumNow = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+        .get("label_sum").map(_.asInstanceOf[java.math.BigDecimal])
+        .orNull
+      val changed =
+        if (sumNow != null && prevSum != null) sumNow.compareTo(prevSum) != 0
+        else if (sumNow != null) true // first iteration: no baseline yet
+        else { // metric unavailable → fall back to the diff-join check
+          System.err.println(
+            "[canon] observed label_sum unavailable; diff-join fallback")
+          jumped.as("n")
+            .join(labels.as("o"), col("n.v") === col("o.v"))
+            .filter(col("n.label") =!= col("o.label"))
+            .limit(1).count() > 0
+        }
+      prevSum = sumNow
       labels.unpersist(blocking = false)
       labels = jumped.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = changed == 0
+      converged = !changed
       iter += 1
     }
     e.unpersist(blocking = false)
