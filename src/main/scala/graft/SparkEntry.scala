@@ -402,9 +402,30 @@ object SparkEntry {
         .select(col("objType"), col("t.item").as("surface"),
           col("t.cnt").as("n"))
     }),
-    // ---- KG pipeline entries (no SQL oracle: rows-only checks) ----
+    // ---- KG pipeline entries ----
     "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
-    "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF())
+    "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF()),
+    // input/intermediate dumps feeding the {OUT}-based oracles above/below:
+    // kg_drug_instructions lets DuckDB re-derive kg_group_taboo (P11 taboo
+    // CASE priority + unpivot + dedup, cross-engine); kg_entity_surfaces +
+    // kg_refined_dict let it re-derive kg_seen_unseen (A11/U2 set ops)
+    "kg_drug_instructions" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(graft.corpus.Fixtures.drugInstructions(60)).toDF()
+    }),
+    "kg_refined_dict" -> ((s, _) => {
+      import s.implicits._
+      graft.corpus.Vocab.refinedDict.keys.toSeq.sorted.toDF("word")
+    }),
+    "kg_entity_surfaces" -> ((s, _) => {
+      import s.implicits._
+      implicit val sp = s
+      graft.pipeline.Pipeline.artifacts(
+        graft.corpus.Corpus.pages(s, 30, 4))
+        .flatMap(_.row.seg
+          .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
+          .map(_.word)).distinct().toDF("word")
+    })
   )
 
   /** Seed deterministic near-duplicates (id + 10_000_000, one word appended)
@@ -653,6 +674,34 @@ object SparkEntry {
         |expl AS (SELECT doc_id, unnest(s) AS g FROM sh)
         |SELECT doc_id, count(*) AS n_shared
         |FROM expl JOIN bench USING (g) GROUP BY doc_id""".stripMargin,
+    // P11 taboo classification re-derived in SQL over the dumped drug
+    // instructions: CASE priority (prohibited > notrecommended/caution,
+    // with the reference's 调整用量→慎用人群 remap folded in), 3-way unpivot,
+    // dedup — keyword lists generated from the same Seqs as the Scala path
+    "kg_group_taboo" -> {
+      def anyContains(words: Seq[String]): String =
+        words.map(w => s"contains(txt, '$w')").mkString(" OR ")
+      s"""SELECT DISTINCT product AS entity1, gname AS entity2,
+         |  CASE WHEN ${anyContains(graft.pipeline.Triples.prohibited)} THEN '禁用人群'
+         |       WHEN ${anyContains(graft.pipeline.Triples.notrecommended ++ graft.pipeline.Triples.caution)} THEN '慎用人群'
+         |       ELSE '' END AS relation,
+         |  txt AS sentence, 'DRU' AS entityType1, 'GRP' AS entityType2,
+         |  'KBMS' AS domain
+         |FROM (SELECT product,
+         |        unnest(['孕妇', '儿童', '老人']) AS gname,
+         |        unnest([woman, children, agedness]) AS txt
+         |      FROM read_parquet('{OUT}/kg_drug_instructions/*.parquet'))""".stripMargin
+    },
+    // A11/U2 set semantics re-derived over the dumped seen-surface and
+    // refined-dictionary tables
+    "kg_seen_unseen" ->
+      """SELECT word, 'seen' AS status
+        |FROM read_parquet('{OUT}/kg_entity_surfaces/*.parquet')
+        |UNION ALL
+        |SELECT word, 'unseen' AS status
+        |FROM read_parquet('{OUT}/kg_refined_dict/*.parquet')
+        |WHERE word NOT IN (
+        |  SELECT word FROM read_parquet('{OUT}/kg_entity_surfaces/*.parquet'))""".stripMargin,
     // the custom codegen RollingHash Expression, recomputed independently in
     // SQL: per-char fold with HUGEINT mod-2^64 arithmetic replicating JVM
     // long wraparound, lowercase A-Z, whitespace-run collapse
