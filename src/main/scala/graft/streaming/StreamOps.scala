@@ -91,6 +91,36 @@ object StreamOps {
     * different. Callers needing the tail must use Update/Complete mode or a
     * final batch pass.
     */
+  /** Production streaming-KG entry: a page stream (any source with the Page
+    * schema) → the SAME broadcast-trie annotate + triple assembly as the
+    * batch pipeline, appended as parquet micro-batches. foreachBatch is the
+    * bridge (triple emission is row-local, so micro-batch boundaries cannot
+    * change a byte — pinned by StreamingSpec's stream/batch parity test);
+    * checkpointLocation gives exactly-once parquet commits across restarts.
+    */
+  def triplesStream(
+      pages: DataFrame, // streaming DF with the Page schema
+      b: graft.pipeline.Pipeline.Broadcasts,
+      outDir: String,
+      checkpointDir: String
+  ): StreamingQuery = {
+    val spark = pages.sparkSession
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    pages.as[graft.model.Page]
+      .writeStream
+      .foreachBatch {
+        (batch: Dataset[graft.model.Page], batchId: Long) =>
+          graft.pipeline.Triples.fromArtifacts(
+            graft.pipeline.Pipeline.artifacts(batch, b))
+            .write.mode("append").parquet(outDir)
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def replayToMemorySink(
       spark: SparkSession,
       eventsParquet: String,

@@ -89,4 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     // micro-batch split cannot change a single byte
     assert(buf.toSet == batchTriples.toSet)
   }
+
+  test("triplesStream: streaming sink parquet equals the batch triple set; restart is exactly-once") {
+    import spark.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    val srcDir = java.nio.file.Files.createTempDirectory("ts_src")
+    val outDir = java.nio.file.Files.createTempDirectory("ts_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ts_ck").toString
+    val pages = graft.corpus.Corpus.pages(spark, 8, 1)
+    pages.coalesce(1).write.mode("overwrite").parquet(srcDir.toString + "/f0")
+    val b = graft.pipeline.Pipeline.broadcasts(spark)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString + "/f0")
+      val q = graft.streaming.StreamOps.triplesStream(stream, b, outDir, ckDir)
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.pipeline.Triples.fromArtifacts(
+      graft.pipeline.Pipeline.artifacts(pages, b)).toDF()
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    // restart with the same checkpoint: no new files to process -> no dupes
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == batch.count())
+  }
 }
