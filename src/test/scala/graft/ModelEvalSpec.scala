@@ -110,6 +110,18 @@ class ModelEvalSpec extends AnyFunSuite {
     assert(w.values.forall(m => math.abs(m("DIS") - 0.25) < 1e-12))
   }
 
+  test("retraining path: pipeline runs end-to-end on the DERIVED matrices") {
+    val spark = SparkTestBase.spark
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val b = graft.pipeline.Pipeline.broadcasts(spark,
+      ModelEval.derivedWeights, ModelEval.evalMatrix)
+    val triples = graft.pipeline.Triples.fromArtifacts(
+      graft.pipeline.Pipeline.artifacts(
+        graft.corpus.Corpus.pages(spark, 15, 4), b)).collect()
+    assert(triples.nonEmpty)
+    triples.foreach(t => assert(t.prob >= 0.0 && t.prob <= 1.0))
+  }
+
   test("labeled corpus: gold spans index the sentence exactly") {
     graft.corpus.Fixtures.labeledSentences("m", 50).foreach { ls =>
       ls.gold.foreach { g =>
