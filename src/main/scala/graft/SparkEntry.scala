@@ -425,6 +425,22 @@ object SparkEntry {
         .flatMap(_.row.seg
           .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
           .map(_.word)).distinct().toDF("word")
+    }),
+    // raw per-sentence entity rows + lineage (same 30-page corpus as
+    // kg_triples): lets the DuckDB oracle re-derive the FLAGSHIP triple
+    // assembly — 0.7 short-dict-prob adjust, A3 max-prob dedup with the
+    // reference's model-category rank tie-break, essential-type filter,
+    // lineage projection — entirely in SQL
+    "kg_sentence_entities" -> ((s, _) => {
+      import s.implicits._
+      implicit val sp = s
+      graft.pipeline.Pipeline.artifacts(
+        graft.corpus.Corpus.pages(s, 30, 4))
+        .flatMap { a =>
+          a.entities.map(e => (a.row.ind, a.row.entity1, a.row.entity1Type,
+            a.row.paragraph, e.model, e.entName, e.entType, e.start, e.prob))
+        }.toDF("ind", "entity1", "entity1Type", "paragraph", "model",
+          "entName", "entType", "start", "prob")
     })
   )
 
@@ -674,6 +690,30 @@ object SparkEntry {
         |expl AS (SELECT doc_id, unnest(s) AS g FROM sh)
         |SELECT doc_id, count(*) AS n_shared
         |FROM expl JOIN bench USING (g) GROUP BY doc_id""".stripMargin,
+    // the FLAGSHIP triple assembly re-derived in SQL over the dumped raw
+    // entity rows: 0.7 short-dict adjust, A3 max-prob dedup (rank
+    // tie-break), essential filter, lineage projection. Ties on
+    // (prob, rank) may pick a different surviving row than Scala's
+    // encounter-order minBy, but every output-visible column of tied rows
+    // is identical, so the emitted bag matches exactly.
+    "kg_triples" -> {
+      val essentials = graft.model.Ontology.essentialTypes.toSeq.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT entity1 AS subj, entity1Type AS subjType, paragraph AS pred,
+         |  entName AS obj, entType AS objType, ind, prob
+         |FROM (
+         |  SELECT ind, entity1, entity1Type, paragraph, entName, entType, prob,
+         |    row_number() OVER (PARTITION BY ind, entName, entType, start
+         |                       ORDER BY prob DESC, rnk ASC) AS rn
+         |  FROM (SELECT ind, entity1, entity1Type, paragraph, entName,
+         |          entType, start,
+         |          CASE WHEN model IN ('refined_dictionary', 'other_dictionary')
+         |                AND length(entName) <= 2 THEN 0.7 ELSE prob END AS prob,
+         |          CASE WHEN model IN ('refined_dictionary', 'other_dictionary') THEN 1
+         |               WHEN model = 'rules_merging' THEN 2 ELSE 0 END AS rnk
+         |        FROM read_parquet('{OUT}/kg_sentence_entities/*.parquet')))
+         |WHERE rn = 1 AND entName != '' AND entType IN ($essentials)""".stripMargin
+    },
     // P11 taboo classification re-derived in SQL over the dumped drug
     // instructions: CASE priority (prohibited > notrecommended/caution,
     // with the reference's 调整用量→慎用人群 remap folded in), 3-way unpivot,
