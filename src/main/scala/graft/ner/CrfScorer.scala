@@ -47,6 +47,36 @@ final class CrfScorer(
   private val affinity: Array[Double] =
     Types.map(t => 2.0 + Hashing.unit(model, "#aff#", t) * 1.5).toArray
 
+  // ---- per-instance scratch, reused across sentences -----------------------
+  // predictRaw once allocated ~30 KB of short-lived arrays per sentence per
+  // model; at 10^5-10^6 sentences/s that is multi-GB/s of TLAB
+  // allocation+zeroing — pure memory-bandwidth burn that caps multi-core
+  // scaling long before the ALU does. Scratch reuse removes it. Invariants:
+  //   - ev scratch is ALL-ZERO between calls (cells written for a sentence
+  //     are sparsely re-zeroed before returning — bounded by evidence size,
+  //     not by n × Types);
+  //   - emit/dp/bp/path are fully overwritten in their used prefix per call
+  //     (bp row 0 is never read), so they carry no state across calls.
+  // Consequence: a CrfScorer INSTANCE is single-threaded. The pipeline
+  // already guarantees this (scorers are built per partition in
+  // Annotate.annotate); build one scorer set per thread elsewhere.
+  // @transient: a deserialized instance just re-grows lazily from empty.
+  @transient private var evScratchB: Array[Double] = _
+  @transient private var evScratchI: Array[Double] = _
+  @transient private var emitScratch: Array[Double] = _
+  @transient private var dpScratch: Array[Double] = _
+  @transient private var bpScratch: Array[Int] = _
+  @transient private var pathScratch: Array[Int] = _
+  @transient private var acceptedScratch: Array[Long] = _
+
+  private def evScratch(need: Int): (Array[Double], Array[Double]) = {
+    if (evScratchB == null || evScratchB.length < need) {
+      evScratchB = new Array[Double](math.max(need, 256)) // JVM-zeroed
+      evScratchI = new Array[Double](evScratchB.length)
+    }
+    (evScratchB, evScratchI)
+  }
+
   /** Per-char (BIO label, prob) for one sentence — compat wrapper. */
   def predict(sentence: String): Array[(String, Double)] =
     predictRaw(sentence).toPairs
@@ -76,9 +106,11 @@ final class CrfScorer(
     // 1. dictionary evidence with deterministic dropout/jitter, recorded as
     //    (charIdx -> boost) per evidenced type
     var typeMask = 0 // bit per essential type index
-    // evidence per char per type collected sparsely first
-    val evB = new Array[Double](n * Types.length)
-    val evI = new Array[Double](n * Types.length)
+    // evidence per char per type collected sparsely first (reused scratch,
+    // all-zero on entry; accepted spans recorded for the sparse reset)
+    val (evB, evI) = evScratch(n * Types.length)
+    if (acceptedScratch == null) acceptedScratch = new Array[Long](64)
+    var nAccepted = 0
     var mi = 0
     while (mi < matches.length) {
       val packed = matches(mi)
@@ -94,8 +126,28 @@ final class CrfScorer(
         evB(i * Types.length + ti) += boost
         var j = i + 1
         while (j < e2) { evI(j * Types.length + ti) += boost; j += 1 }
+        if (nAccepted == acceptedScratch.length)
+          acceptedScratch = java.util.Arrays.copyOf(
+            acceptedScratch, nAccepted * 2)
+        acceptedScratch(nAccepted) =
+          (i.toLong << 40) | (e2.toLong << 16) | ti.toLong
+        nAccepted += 1
       }
       mi += 1
+    }
+    // restore the all-zero invariant before ANY return below
+    def resetEv(): Unit = {
+      var k = 0
+      while (k < nAccepted) {
+        val p = acceptedScratch(k)
+        val i = (p >>> 40).toInt
+        val e2 = ((p >>> 16) & 0xffffffL).toInt
+        val ti = (p & 0xffffL).toInt
+        evB(i * Types.length + ti) = 0.0
+        var j = i + 1
+        while (j < e2) { evI(j * Types.length + ti) = 0.0; j += 1 }
+        k += 1
+      }
     }
     var i = 0
 
@@ -131,7 +183,10 @@ final class CrfScorer(
     }
 
     // 2. emissions over active labels: hashed noise + O bias + evidence
-    val emit = new Array[Double](n * nA)
+    // (reused scratch: every cell in the used n×nA prefix is assigned below)
+    if (emitScratch == null || emitScratch.length < n * nA)
+      emitScratch = new Array[Double](math.max(n * nA, 256))
+    val emit = emitScratch
     i = 0
     while (i < n) {
       val c = sentence.charAt(i).toLong
@@ -156,8 +211,16 @@ final class CrfScorer(
       i += 1
     }
 
-    // 3. Viterbi over the active lattice (I-t only after B-t/I-t)
-    val path = viterbiActive(emit, n, nA, typeOfLocal, isILocal)
+    // 3. Viterbi over the active lattice (I-t only after B-t/I-t),
+    //    dp/bp/path from reused scratch (fully overwritten per call)
+    if (dpScratch == null || dpScratch.length < n * nA) {
+      dpScratch = new Array[Double](math.max(n * nA, 256))
+      bpScratch = new Array[Int](dpScratch.length)
+    }
+    if (pathScratch == null || pathScratch.length < n)
+      pathScratch = new Array[Int](math.max(n, 64))
+    val path = viterbiActive(emit, n, nA, typeOfLocal, isILocal,
+      dpScratch, bpScratch, pathScratch)
 
     // 4. per-char probability via the reference squash of the emission score
     val labels = new Array[Int](n)
@@ -169,6 +232,7 @@ final class CrfScorer(
       probs(i) = math.min(refSigmoid(2.0 + emit(i * nA + l)), 0.99)
       i += 1
     }
+    resetEv()
     Tagged(labels, probs)
   }
 }
@@ -256,9 +320,23 @@ object CrfScorer {
       nA: Int,
       typeOfLocal: Array[Int],
       isILocal: Array[Boolean]
+  ): Array[Int] =
+    viterbiActive(emit, n, nA, typeOfLocal, isILocal,
+      new Array[Double](n * nA), new Array[Int](n * nA), new Array[Int](n))
+
+  /** Buffer-reusing form: dp/bp sized ≥ n×nA, path ≥ n; every used cell is
+    * overwritten (bp row 0 is never read), so dirty buffers are fine.
+    */
+  def viterbiActive(
+      emit: Array[Double],
+      n: Int,
+      nA: Int,
+      typeOfLocal: Array[Int],
+      isILocal: Array[Boolean],
+      dp: Array[Double],
+      bp: Array[Int],
+      path: Array[Int]
   ): Array[Int] = {
-    val dp = new Array[Double](n * nA)
-    val bp = new Array[Int](n * nA)
     var l = 0
     while (l < nA) {
       dp(l) = if (isILocal(l)) NegInf else emit(l)
@@ -299,7 +377,6 @@ object CrfScorer {
       }
       i += 1
     }
-    val path = new Array[Int](n)
     var bl = 0
     var bs = NegInf
     val lastBase = (n - 1) * nA
