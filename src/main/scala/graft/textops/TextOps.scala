@@ -45,6 +45,24 @@ object TextOps {
     if (best._2 == 0) "und" else best._1
   }
 
+  /** Language order fixed for the packed counters; index i occupies bits
+    * [11·i, 11·i+11) of the accumulator. 2000 tokens max < 2^11 per field,
+    * so fields can never carry into each other.
+    */
+  private val langOrder: IndexedSeq[String] = IndexedSeq("en", "es", "fr", "de", "zh")
+
+  /** token → packed per-language increment (a token shared by several
+    * languages — e.g. es/fr "la"/"de"/"un" — carries the sum of its
+    * languages' field weights, preserving multi-membership counting).
+    * Single source of truth for BOTH engines' single-pass forms.
+    */
+  private val packedWeights: Seq[(String, Long)] =
+    stopwords.values.flatten.toSeq.distinct.sorted.map { tk =>
+      tk -> langOrder.zipWithIndex.collect {
+        case (l, i) if stopwords(l).contains(tk) => 1L << (11 * i)
+      }.sum
+    }
+
   /** Column-expression language ID — the distributed, oracle-checkable form
     * of [[langId]]: pure `functions._` (codegen'd), expressible verbatim in
     * DuckDB SQL. Semantics: CJK-ratio shortcut over the first 4000 chars,
@@ -52,36 +70,58 @@ object TextOps {
     * tokens; ties break to the lexicographically GREATEST language code
     * (matching the scalar's maxBy on (score, lang)); zero hits or empty
     * text → "und".
+    *
+    * SINGLE-PASS: one `aggregate` traversal with one hash-map lookup per
+    * token, accumulating all five counters packed into one long (11 bits per
+    * language — the round-2 form made five independent `filter(isin)` passes
+    * over the token array, 5×8 string comparisons per token, and was the
+    * slowest oracle query at sf0.1).
     */
   def langIdCol(text: Column): Column = {
     val t = coalesce(text, lit(""))
     val toks = slice(split(lower(t), "[^\\p{L}]+", -1), 1, 2000)
-    def hits(lang: String): Column =
-      size(filter(toks, tk => tk.isin(stopwords(lang): _*)))
-    val en = hits("en"); val es = hits("es"); val fr = hits("fr")
-    val de = hits("de"); val zh = hits("zh")
+    val weightMap = map(packedWeights.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    // the argmax decision lives in the aggregate's FINISH lambda: higher-
+    // order functions are interpreted (no codegen / no common-subexpression
+    // elimination), so referencing the aggregate from an outer when-chain
+    // would re-run the whole token scan once per reference — inside finish,
+    // `packed` is a bound lambda variable read, evaluated exactly once
+    val langPick = aggregate(toks, lit(0L),
+      (acc, tk) => acc + coalesce(try_element_at(weightMap, tk), lit(0L)),
+      packed => {
+        def cnt(lang: String): Column =
+          shiftright(packed, 11 * langOrder.indexOf(lang))
+            .bitwiseAND(lit(2047L))
+        val en = cnt("en"); val es = cnt("es"); val fr = cnt("fr")
+        val zh = cnt("zh")
+        val best = greatest(en, es, fr, cnt("de"), zh)
+        when(best === 0, lit("und"))
+          .when(zh === best, lit("zh"))
+          .when(fr === best, lit("fr"))
+          .when(es === best, lit("es"))
+          .when(en === best, lit("en"))
+          .otherwise(lit("de"))
+      })
     val head = substring(t, 1, 4000)
     val cjk = length(regexp_replace(head, "[^\\u4e00-\\u9fff]", ""))
-    val best = greatest(en, es, fr, de, zh)
     when(length(t) === 0, lit("und"))
       .when(cjk * 10 > length(head), lit("zh"))
-      .when(best === 0, lit("und"))
-      .when(zh === best, lit("zh"))
-      .when(fr === best, lit("fr"))
-      .when(es === best, lit("es"))
-      .when(en === best, lit("en"))
-      .otherwise(lit("de"))
+      .otherwise(langPick)
   }
 
-  /** The DuckDB mirror of [[langIdCol]], built from the same stopword lists
-    * so the two can never drift. `textExpr` is the SQL expression for the
-    * text column.
+  /** The DuckDB mirror of [[langIdCol]], built from the same
+    * [[packedWeights]] table so the two can never drift. `textExpr` is the
+    * SQL expression for the text column. Same packed single-pass shape: one
+    * CASE lookup per token, counters unpacked by shift/mask.
     */
   def langIdSql(textExpr: String): String = {
-    def hitsSql(lang: String): String = {
-      val inList = stopwords(lang).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(toks, tk -> tk IN ($inList)))"
-    }
+    val caseArms = packedWeights
+      .map { case (tk, w) => s"WHEN '$tk' THEN ${w}" }
+      .mkString(" ")
+    def cnt(lang: String): String =
+      s"((packed >> ${11 * langOrder.indexOf(lang)}) & 2047)"
     s"""(SELECT CASE
        |  WHEN length(t) = 0 THEN 'und'
        |  WHEN length(regexp_replace(substr(t, 1, 4000), '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 10
@@ -94,11 +134,13 @@ object TextOps {
        |  ELSE 'de' END
        | FROM (SELECT t, h_en, h_es, h_fr, h_de, h_zh,
        |        greatest(h_en, h_es, h_fr, h_de, h_zh) AS best
-       |   FROM (SELECT t, ${hitsSql("en")} AS h_en, ${hitsSql("es")} AS h_es,
-       |          ${hitsSql("fr")} AS h_fr, ${hitsSql("de")} AS h_de,
-       |          ${hitsSql("zh")} AS h_zh
-       |     FROM (SELECT t, (string_split_regex(lower(t), '[^\\p{L}]+'))[1:2000] AS toks
-       |       FROM (SELECT coalesce($textExpr, '') AS t)))))""".stripMargin
+       |   FROM (SELECT t, ${cnt("en")} AS h_en, ${cnt("es")} AS h_es,
+       |          ${cnt("fr")} AS h_fr, ${cnt("de")} AS h_de,
+       |          ${cnt("zh")} AS h_zh
+       |     FROM (SELECT t, coalesce(list_sum(list_transform(toks,
+       |            tk -> CASE tk $caseArms ELSE 0 END)), 0) AS packed
+       |       FROM (SELECT t, (string_split_regex(lower(t), '[^\\p{L}]+'))[1:2000] AS toks
+       |         FROM (SELECT coalesce($textExpr, '') AS t))))))""".stripMargin
   }
 
   // ---- quality scoring ----------------------------------------------------
