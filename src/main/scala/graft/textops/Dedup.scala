@@ -79,8 +79,17 @@ object Dedup {
   }
 
   /** Per-bucket candidate generation with the MaxBucket cap, shared by the
-    * MinHash and SimHash paths. Input (band, bucket, id); output distinct
-    * (id_a, id_b) with id_a < id_b.
+    * MinHash, SimHash and embedding-LSH paths. Input (band, bucket, id);
+    * output distinct (id_a, id_b) with id_a < id_b.
+    *
+    * The cap keeps the MaxBucket/2 SMALLEST and MaxBucket/2 LARGEST ids of
+    * an oversize bucket (not a one-sided prefix): a one-sided cap
+    * systematically drops whichever end of the id space sorts last, so a
+    * near-dup pair whose members straddle the cap boundary (e.g. a late
+    * re-crawl of an early page, or this repo's planted +10M-offset twins)
+    * would silently vanish from every bucket with ≥ MaxBucket members.
+    * Both-ends slicing keeps extreme-id pairs discoverable while still
+    * bounding within-bucket fan-out at MaxBucket²/2 pairs.
     *
     * Truncation is OBSERVABLE, not silent ("cap + count" contract): the
     * bucket stage carries an `observe` with named metrics
@@ -89,14 +98,20 @@ object Dedup {
     * an action; [[bucketStats]] gives the same numbers as a first-class
     * audit query.
     */
-  private def cappedPairs(
+  private[textops] def cappedPairs(
       banded: DataFrame, metricName: String): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    val half = MaxBucket / 2
     banded
       .groupBy($"band", $"bucket")
       .agg(count(lit(1)).as("n_total"),
-        slice(sort_array(collect_list($"id")), 1, MaxBucket).as("ids"))
+        sort_array(collect_list($"id")).as("all_ids"))
+      .withColumn("ids",
+        when(size($"all_ids") <= MaxBucket, $"all_ids")
+          .otherwise(concat(slice($"all_ids", 1, half),
+            slice($"all_ids", -half, half))))
+      .drop("all_ids")
       .filter(size($"ids") > 1)
       .observe(metricName,
         sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))

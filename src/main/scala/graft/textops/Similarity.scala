@@ -264,26 +264,47 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets (the 5th dedup
-    * modality): pairs in the same bucket with sim >= threshold.
+  /** Embedding-cosine near-duplicate pairs via multi-table LSH buckets (the
+    * 5th dedup modality): pairs sharing any table's sign bucket with
+    * sim >= threshold.
+    *
+    * Candidates flow through [[Dedup.cappedPairs]] — the same MaxBucket-
+    * capped, observably-truncating bucket stage as the minhash/simhash
+    * paths. The round-2 version joined bucket-against-bucket UNCAPPED over
+    * only 2^nBits fixed buckets, so bucket size grew O(N) with the corpus
+    * and within-bucket pairs O(N²) — the one remaining all-pairs risk at
+    * 100 TB. Multi-table banding (band = table id) plus the cap bounds
+    * per-bucket fan-out at MaxBucket²/2 regardless of corpus size, with
+    * dropped candidates counted in the `graft.dedup.embedding_buckets`
+    * observe metrics. Recall for near-identical pairs survives the
+    * trade: a twin at cos≈1 shares every table's bucket, so it gets
+    * nTables independent chances to land in an un-truncated slice.
     */
   def embeddingNearDup(
       embeddings: DataFrame,
       threshold: Double = 0.95,
       nBits: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      nTables: Int = 4
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val planes = spark.sparkContext.broadcast(hyperplanes(nBits, dim))
-    val bucketUdf = udf { (emb: Seq[Float]) => signBucket(emb, planes.value) }
-    val bucketed = embeddings.withColumn("bucket", bucketUdf($"embedding"))
-    val a = bucketed.select($"bucket", $"vec_id".as("id_a"),
-      $"embedding".as("emb_a"))
-    val b = bucketed.select($"bucket", $"vec_id".as("id_b"),
-      $"embedding".as("emb_b"))
-    a.join(b, "bucket")
-      .filter($"id_a" < $"id_b")
+    val tables = spark.sparkContext.broadcast(
+      Array.tabulate(nTables)(t => hyperplanes(nBits, dim, t)))
+    val bucketsUdf = udf { (emb: Seq[Float]) =>
+      signBuckets(emb, tables.value)
+    }
+    val banded = embeddings
+      .select($"vec_id".as("id"), $"embedding")
+      .withColumn("b", explode(bucketsUdf($"embedding")))
+      // band = table id (top bits of the combined key), bucket = full key
+      .select(shiftright($"b", 24).as("band"), $"b".as("bucket"), $"id")
+    val pairs = Dedup.cappedPairs(banded, "graft.dedup.embedding_buckets")
+    pairs
+      .join(embeddings.select($"vec_id".as("id_a"),
+        $"embedding".as("emb_a")), "id_a")
+      .join(embeddings.select($"vec_id".as("id_b"),
+        $"embedding".as("emb_b")), "id_b")
       .withColumn("sim", round(cosine($"emb_a", $"emb_b"), 6))
       .filter($"sim" >= threshold)
       .select($"id_a", $"id_b", $"sim")

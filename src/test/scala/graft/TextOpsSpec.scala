@@ -125,6 +125,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("max_bucket_size") == 60L)
   }
 
+  test("bucket cap keeps BOTH ends: extreme-id pair survives a truncated bucket") {
+    import spark.implicits._
+    // 80 identical docs, ids 0..78 plus one far outlier id 10_000_050: a
+    // one-sided cap (50 smallest) would drop the outlier from every bucket;
+    // both-ends slicing must keep the (0, 10_000_050) pair discoverable
+    val ids = (0L until 79L) :+ 10000050L
+    val boiler = ids
+      .map(i => (i, "the same boilerplate text repeated again and again here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(boiler, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 10000050L)),
+      "pair straddling the cap boundary was dropped")
+  }
+
+  test("embeddingNearDup: capped bucket path finds perturbed twins, observable metrics") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001)).cast("float")))
+    val res = Similarity.embeddingNearDup(emb.unionByName(twins), 0.95)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
+    assert(expected.subsetOf(got), s"missed twins: ${expected.diff(got)}")
+    // truncation metrics ride the same observe contract as minhash/simhash
+    val m = res.queryExecution
+      .observedMetrics("graft.dedup.embedding_buckets")
+    assert(m.getAs[Long]("dropped_ids") >= 0L)
+  }
+
   test("empty embeddings: no quantizer, empty IVF result (no crash)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
