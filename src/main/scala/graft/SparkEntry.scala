@@ -235,22 +235,59 @@ object SparkEntry {
         t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
-    // ---- rows-only entries (non-SQL-expressible) ----
+    // ---- probabilistic-structure queries, oracled via the {OUT}-dump
+    // pattern: the only non-SQL piece (hyperplane signs / splitmix
+    // permutations / k-means cells) is dumped as an input table and DuckDB
+    // re-derives candidate generation, capping, verification and ranking
+    // from it in plain SQL ----
     "sim_topk_lsh" -> ((s, dir) => {
       graft.textops.Similarity.lshTopK(
         t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     "sim_topk_ivf" -> ((s, dir) => {
       graft.textops.Similarity.ivfTopK(
         t(s, dir, "embeddings"), (0L until 20L).toSeq, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     "dedup_minhash_lsh" -> ((s, dir) => {
+      // n_eq = est_sim·128 is EXACT (den is a power of two); jaccard is
+      // floor-scaled to 1e6 — one IEEE division + multiply, identical in
+      // both engines
       graft.textops.Dedup.minhashLsh(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 0.5)
+        .select(col("id_a"), col("id_b"),
+          (col("est_sim") * 128).cast("int").as("n_eq"),
+          floor(col("jaccard") * 1e6).cast("long").as("jac_x1e6"))
     }),
     "dedup_simhash" -> ((s, dir) => {
       graft.textops.Dedup.simhashDedup(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text", 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long")
+          .as("hamming"))
+    }),
+    // input dumps feeding the oracles above (rows-only by design)
+    "dedup_minhash_sigs" -> ((s, dir) => {
+      graft.textops.Dedup.minhashSigsDf(
+        withNearDupes(s, t(s, dir, "documents")), "doc_id", "text")
+        .select(col("id"), col("sig"))
+    }),
+    "dedup_simhash_sigs" -> ((s, dir) => {
+      graft.textops.Dedup.simhashSigsDf(
+        withNearDupes(s, t(s, dir, "documents")), "doc_id", "text")
+    }),
+    "sim_lsh_buckets" -> ((s, dir) => {
+      graft.textops.Similarity.lshBucketsDf(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("bucket"))
+    }),
+    "sim_ivf_cells" -> ((s, dir) => {
+      graft.textops.Similarity.ivfAssignments(
+        t(s, dir, "embeddings"), (0L until 20L).toSeq)._1
+        .select(col("vec_id"), col("cell"))
+    }),
+    "sim_ivf_probes" -> ((s, dir) => {
+      graft.textops.Similarity.ivfAssignments(
+        t(s, dir, "embeddings"), (0L until 20L).toSeq)._2
     }),
     // sim column intentionally dropped: membership is the oracle-checkable
     // contract (planted twins at cos≈1 vs organic max 0.51 at sf0.01 — far
@@ -647,6 +684,123 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "sim_ivf_planted" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BOOLEAN) AS recall_ok",
+    // EXACT re-derivation of the MinHash LSH pipeline over the dumped
+    // 128-long signatures: band keys are the signature slices themselves
+    // (bucket equality ⇔ slice equality, modulo negligible 64-bit mix
+    // collisions which could only ADD a Spark pair), both-ends MaxBucket=50
+    // cap replicated, pairs, n_eq verification against the same sigs, exact
+    // jaccard re-derived from STRING shingles over the re-built augmented
+    // corpus (hashed-set sizes equal string-set sizes barring fnv1a64
+    // collisions)
+    "dedup_minhash_lsh" ->
+      """WITH sigs AS (SELECT id, sig
+        |    FROM read_parquet('{OUT}/dedup_minhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT b.band, s.id, s.sig[b.band*8+1 : b.band*8+8] AS key
+        |  FROM sigs s, (SELECT unnest(generate_series(0,15)) AS band) b),
+        |buckets AS (
+        |  SELECT band, key, list_sort(list(id)) AS all_ids
+        |  FROM banded GROUP BY band, key),
+        |capped AS (
+        |  SELECT CASE WHEN len(all_ids) <= 50 THEN all_ids
+        |    ELSE all_ids[1:25] || all_ids[len(all_ids)-24:len(all_ids)] END AS ids
+        |  FROM buckets WHERE len(all_ids) > 1),
+        |pairs AS (
+        |  SELECT DISTINCT p.a AS id_a, p.b AS id_b
+        |  FROM capped, unnest(flatten(list_transform(generate_series(1, len(ids)),
+        |    i -> list_transform(ids[i+1:], bb -> {a: ids[i], b: bb})))) AS t(p)),
+        |aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text || ' nearduplicate'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+        |      ELSE list_transform(generate_series(1, len(words)-2),
+        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
+        |        FROM aug)),
+        |jac AS (
+        |  SELECT p.id_a, p.id_b,
+        |    len(list_intersect(a.s, b.s)) AS n_i,
+        |    len(list_distinct(list_concat(a.s, b.s))) AS n_u
+        |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+        |               JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT j.id_a, j.id_b,
+        |  CAST(len(list_filter(generate_series(1, 128),
+        |    i -> sa.sig[i] = sb.sig[i])) AS INT) AS n_eq,
+        |  CAST(floor((CASE WHEN j.n_u = 0 THEN 1.0
+        |    ELSE CAST(j.n_i AS DOUBLE) / j.n_u END) * 1000000.0) AS BIGINT) AS jac_x1e6
+        |FROM jac j JOIN sigs sa ON sa.id = j.id_a
+        |           JOIN sigs sb ON sb.id = j.id_b
+        |WHERE (CASE WHEN j.n_u = 0 THEN 1.0
+        |  ELSE CAST(j.n_i AS DOUBLE) / j.n_u END) >= 0.5""".stripMargin,
+    // EXACT re-derivation of the SimHash pipeline over the dumped 64-bit
+    // signatures: unsigned 16-bit chunk banding via HUGEINT arithmetic
+    // (replicating Java's >>> on the two's-complement long), both-ends cap,
+    // pairs, xor/bit_count hamming verification (DuckDB bit_count matches
+    // Long.bitCount on the 64-bit pattern)
+    "dedup_simhash" ->
+      """WITH sigs AS (
+        |  SELECT id, sig,
+        |    CASE WHEN sig < 0 THEN CAST(sig AS HUGEINT) + 18446744073709551616
+        |         ELSE CAST(sig AS HUGEINT) END AS u
+        |  FROM read_parquet('{OUT}/dedup_simhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT band.b AS band, id, CAST((u // band.dv) % 65536 AS BIGINT) AS bucket
+        |  FROM sigs, (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+        |    (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)) band(b, dv)),
+        |buckets AS (SELECT band, bucket, list_sort(list(id)) AS all_ids
+        |  FROM banded GROUP BY band, bucket),
+        |capped AS (SELECT CASE WHEN len(all_ids) <= 50 THEN all_ids
+        |    ELSE all_ids[1:25] || all_ids[len(all_ids)-24:len(all_ids)] END AS ids
+        |  FROM buckets WHERE len(all_ids) > 1),
+        |pairs AS (SELECT DISTINCT p.a AS id_a, p.b AS id_b
+        |  FROM capped, unnest(flatten(list_transform(generate_series(1, len(ids)),
+        |    i -> list_transform(ids[i+1:], bb -> {a: ids[i], b: bb})))) AS t(p))
+        |SELECT p.id_a, p.id_b,
+        |  CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM pairs p JOIN sigs sa ON sa.id = p.id_a
+        |             JOIN sigs sb ON sb.id = p.id_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 6""".stripMargin,
+    // EXACT re-derivation of multi-table sign-LSH ANN over the dumped
+    // (vec_id, bucket) assignments: bucket-join candidates, cosine scoring
+    // and top-k ranking in SQL (same rounding/tie-break as the green
+    // brute-force oracle)
+    "sim_topk_lsh" ->
+      """WITH b AS (SELECT vec_id, bucket
+        |    FROM read_parquet('{OUT}/sim_lsh_buckets/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 20),
+        |cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+        |  FROM q JOIN b USING (bucket) WHERE b.vec_id != q.query_id),
+        |scored AS (SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |      round(list_cosine_similarity(qe.embedding, ne.embedding), 6) DESC,
+        |      c.neighbor_id ASC) AS rank
+        |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+        |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        |FROM scored WHERE rank <= 3""".stripMargin,
+    // EXACT re-derivation of IVF ANN over the dumped quantizer assignments
+    // (corpus cell per vector, nprobe probe cells per query)
+    "sim_topk_ivf" ->
+      """WITH cells AS (SELECT vec_id, cell
+        |    FROM read_parquet('{OUT}/sim_ivf_cells/*.parquet')),
+        |probes AS (SELECT query_id, cell
+        |    FROM read_parquet('{OUT}/sim_ivf_probes/*.parquet')),
+        |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN cells c USING (cell) WHERE c.vec_id != p.query_id),
+        |scored AS (SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |      round(list_cosine_similarity(qe.embedding, ne.embedding), 6) DESC,
+        |      c.neighbor_id ASC) AS rank
+        |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+        |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        |FROM scored WHERE rank <= 3""".stripMargin,
     // shared shingle-set CTE text (string shingles over ' +'-split words,
     // the Dedup.shingleStrings tiling) reused by several oracles below
     "dedup_cluster_pick" ->

@@ -93,10 +93,21 @@ object StreamOps {
     */
   /** Production streaming-KG entry: a page stream (any source with the Page
     * schema) → the SAME broadcast-trie annotate + triple assembly as the
-    * batch pipeline, appended as parquet micro-batches. foreachBatch is the
-    * bridge (triple emission is row-local, so micro-batch boundaries cannot
-    * change a byte — pinned by StreamingSpec's stream/batch parity test);
-    * checkpointLocation gives exactly-once parquet commits across restarts.
+    * batch pipeline, written through the built-in parquet FILE SINK. The
+    * whole transform chain (sections → sentences → annotate → triples) is
+    * narrow flatMaps, so it is directly expressible on a streaming Dataset —
+    * no foreachBatch bridge needed, and micro-batch boundaries cannot change
+    * a byte (pinned by StreamingSpec's stream/batch parity test).
+    *
+    * Exactly-once: the file sink records committed files per batch in
+    * `outDir/_spark_metadata`; a batch replayed after a crash between the
+    * parquet job and the checkpoint offset commit writes new files but never
+    * re-commits them to the metadata log, and Spark reads of outDir consult
+    * that log — so readers observe each batch exactly once across restarts.
+    * (A blind `foreachBatch` + mode("append") — the round-2 form — was only
+    * at-least-once in exactly that crash window. Non-Spark readers that list
+    * files directly must filter by the metadata log to get the same
+    * guarantee.)
     */
   def triplesStream(
       pages: DataFrame, // streaming DF with the Page schema
@@ -107,16 +118,13 @@ object StreamOps {
     val spark = pages.sparkSession
     implicit val s: SparkSession = spark
     import spark.implicits._
-    pages.as[graft.model.Page]
+    graft.pipeline.Triples.fromArtifacts(
+      graft.pipeline.Pipeline.artifacts(pages.as[graft.model.Page], b))
       .writeStream
-      .foreachBatch {
-        (batch: Dataset[graft.model.Page], batchId: Long) =>
-          graft.pipeline.Triples.fromArtifacts(
-            graft.pipeline.Pipeline.artifacts(batch, b))
-            .write.mode("append").parquet(outDir)
-          ()
-      }
+      .format("parquet")
+      .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
   }

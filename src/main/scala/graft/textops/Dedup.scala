@@ -157,6 +157,25 @@ object Dedup {
     * Input df must have (id: Long, text: String). Output:
     * (id_a, id_b, est_sim, jaccard) with id_a < id_b, jaccard >= threshold.
     */
+  /** Per-doc (id, sig[128], shingles) — the row-local signature stage of
+    * [[minhashLsh]], exposed so oracles can dump the signatures and
+    * re-derive banding, capping, pairing and verification in plain SQL
+    * (the {OUT}-dump pattern: the splitmix permutations are the only
+    * non-SQL-expressible piece).
+    */
+  def minhashSigsDf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingles(text)
+        (id, minhashSignature(sh), sh)
+      }
+      .toDF("id", "sig", "shingles")
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -165,13 +184,7 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingles(text)
-        (id, minhashSignature(sh), sh)
-      }
-      .toDF("id", "sig", "shingles")
+    val sigs = minhashSigsDf(docs, idCol, textCol)
     // no persist: the signature map is cheap to recompute (row-local
     // hashing) and a cached copy would outlive the call (storage leak in
     // long-lived sessions)
@@ -286,6 +299,20 @@ object Dedup {
   /** SimHash near-dup: pigeonhole banding on 4×16-bit chunks, verify by
     * Hamming distance. Output (id_a, id_b, hamming) with hamming <= maxDist.
     */
+  /** Per-doc (id, 64-bit simhash) — the row-local signature stage of
+    * [[simhashDedup]], exposed for the same {OUT}-dump oracle pattern as
+    * [[minhashSigsDf]].
+    */
+  def simhashSigsDf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "sig")
+  }
+
   def simhashDedup(
       docs: DataFrame,
       idCol: String,
@@ -294,10 +321,7 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "sig")
+    val sigs = simhashSigsDf(docs, idCol, textCol)
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
     }.toDF("band", "bucket", "id")

@@ -103,10 +103,13 @@ object Similarity {
     * the saving vs brute force, not a defect. The spec measures recall on
     * planted near-identical twins.
     */
-  def lshTopK(
-      embeddings: DataFrame, // (vec_id, embedding)
-      queryIds: Seq[Long],
-      k: Int = 3,
+  /** The (vec_id, bucket) multi-table sign-LSH assignment — the ONLY
+    * non-SQL-expressible piece of [[lshTopK]], exposed so the oracle can
+    * dump it and re-derive candidate generation + scoring + ranking in
+    * plain SQL over it (the {OUT}-dump pattern).
+    */
+  def lshBucketsDf(
+      embeddings: DataFrame,
       nBits: Int = 8,
       dim: Int = 64,
       nTables: Int = 8
@@ -118,8 +121,20 @@ object Similarity {
     val bucketsUdf = udf { (emb: Seq[Float]) =>
       signBuckets(emb, tables.value)
     }
-    val bucketed = embeddings
-      .withColumn("bucket", explode(bucketsUdf($"embedding")))
+    embeddings.withColumn("bucket", explode(bucketsUdf($"embedding")))
+  }
+
+  def lshTopK(
+      embeddings: DataFrame, // (vec_id, embedding)
+      queryIds: Seq[Long],
+      k: Int = 3,
+      nBits: Int = 8,
+      dim: Int = 64,
+      nTables: Int = 8
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = lshBucketsDf(embeddings, nBits, dim, nTables)
     val queries = bucketed
       .filter($"vec_id".isin(queryIds: _*))
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -209,21 +224,29 @@ object Similarity {
     centroids
   }
 
-  def ivfTopK(
+  /** The IVF quantizer assignments — corpus cell per vector plus the nprobe
+    * probe cells per query — the only non-SQL-expressible pieces of
+    * [[ivfTopK]] (deterministic: same input → same hash-picked training
+    * sample → same centroids → same assignments, so a separately-run dump
+    * sees byte-identical cells). Returned as (cells, probes) where
+    * cells = (vec_id, embedding, cell) and probes = (query_id, cell).
+    */
+  def ivfAssignments(
       embeddings: DataFrame,
       queryIds: Seq[Long],
-      k: Int = 3,
       nlist: Int = 16,
       nprobe: Int = 4,
       dim: Int = 64
-  ): DataFrame = {
+  ): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val trained = kmeansCentroids(embeddings, nlist, 5, dim)
-    if (trained.isEmpty) { // empty corpus: empty result, stable schema
-      return embeddings.limit(0).select(
-        $"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
-        lit(0.0).as("sim"), lit(0).as("rank"))
+    if (trained.isEmpty) { // empty corpus: empty frames, stable schemas
+      val cells = embeddings.limit(0)
+        .select($"vec_id", $"embedding", lit(0).as("cell"))
+      val probes = embeddings.limit(0)
+        .select($"vec_id".as("query_id"), lit(0).as("cell"))
+      return (cells, probes)
     }
     val cents = spark.sparkContext.broadcast(trained)
     def dist2(v: Seq[Float], c: Array[Double]): Double = {
@@ -249,11 +272,29 @@ object Similarity {
         .map(i => (dist2(emb, cents.value(i)), i))
         .sorted.take(nprobe).map(_._2)
     }
-    val cells = embeddings.withColumn("cell", cellUdf($"embedding"))
-    val queries = embeddings
+    val cells = embeddings
+      .select($"vec_id", $"embedding", cellUdf($"embedding").as("cell"))
+    val probes = embeddings
       .filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+      .select($"vec_id".as("query_id"),
         explode(probeUdf($"embedding")).as("cell"))
+    (cells, probes)
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 3,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (cells, probes) = ivfAssignments(embeddings, queryIds, nlist, nprobe, dim)
+    val queries = probes
+      .join(embeddings.select($"vec_id".as("query_id"),
+        $"embedding".as("q_emb")), "query_id")
     val scored = cells.join(queries, "cell")
       .filter($"vec_id" =!= $"query_id")
       .withColumn("sim", simOrNeg($"q_emb", $"embedding"))
