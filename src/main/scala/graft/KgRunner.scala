@@ -21,6 +21,10 @@ import graft.snapshot.Snapshot
   *   4. canon           — connected components over alias edges (iterative)
   *   5. nodes / edges   — canonicalized graph, partitioned entType × bucket
   *   6. group_triples   — drug-group taboo path
+  *   7. metadata        — model_info / model_eval_results / training_info /
+  *                        ner_info / ner_eval / source_segment /
+  *                        corpus_info / source_labeled / ner_result
+  *                        (reference §1.3 + 6.3/6.4 full table surface)
   *
   * Kill it at any point and re-run with the same outDir: completed snapshots
   * are skipped (manifest-gated), and because every id is a content hash the
@@ -87,14 +91,28 @@ object KgRunner {
           "model_eval_results") {
           graft.canon.FinalTables.modelEvalResults(spark)
         }
+        Snapshot.stage(spark, s"$outDir/training_info", "training_info") {
+          graft.canon.FinalTables.trainingInfo(spark)
+        }
+        Snapshot.stage(spark, s"$outDir/ner_info", "ner_info") {
+          graft.canon.FinalTables.nerInfo(spark)
+        }
+        Snapshot.stage(spark, s"$outDir/ner_eval", "ner_eval") {
+          graft.canon.FinalTables.nerEval(spark)
+        }
       },
       // reference §1.3 final table surface (format parity)
       Future {
         Snapshot.stage(spark, s"$outDir/source_segment", "source_segment") {
           graft.canon.FinalTables.sourceSegment(arts)
         }
-        Snapshot.stage(spark, s"$outDir/corpus_info", "corpus_info") {
+        val ci = Snapshot.stage(spark, s"$outDir/corpus_info",
+          "corpus_info") {
           graft.canon.FinalTables.corpusInfo(arts)
+        }
+        Snapshot.stage(spark, s"$outDir/source_labeled", "source_labeled") {
+          graft.canon.FinalTables.sourceLabeled(
+            graft.canon.FinalTables.trainingInfo(spark), ci)
         }
       },
       Future {

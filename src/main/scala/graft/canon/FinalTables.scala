@@ -149,4 +149,124 @@ object FinalTables {
     rows.toDF("dataset", "model_id", "ent_type", "strict_p", "partial_p",
       "exact_p", "type_p")
   }
+
+  /** Corpus code → human-readable corpus name (the reference's fixed
+    * vocabulary, clean_and_save.py:831-835).
+    */
+  val corpusNames: Map[String, String] = Map(
+    "d" -> "药品说明书", "c" -> "临床指南", "kd" -> "资料库",
+    "m" -> "操作手册", "a" -> "全量数据")
+
+  /** training_info (clean_and_save.py:752-790): the 19-row dataset registry
+    * — 10 training sets (5 corpora + their 5 augmented variants), 4
+    * held-out test sets, 5 out-of-bag replacement-augmented test sets.
+    * Reference quirks kept deliberately: `augmented_k` (not `augmented_kd`,
+    * :753), the full-width colon + trailing space in generation_method
+    * (:780), and the five-space run inside the 4th oob tagging_method
+    * (a Python backslash-continuation inside the string literal, :774-775).
+    * crte stamps follow this repo's fixed-timestamp convention.
+    */
+  def trainingInfo(
+      spark: SparkSession,
+      baseDir: String = "ner_training_final"): DataFrame = {
+    import spark.implicits._
+    val corpusCodes = Seq("d", "c", "kd", "m", "a")
+    val trainCorpora = corpusCodes.map(corpusNames) ++
+      corpusCodes.map(corpusNames) ++
+      Seq("d", "c", "kd", "m").map(corpusNames) ++
+      Seq.fill(5)(corpusNames("a"))
+    val augCodes = Seq("augmented_d", "augmented_c", "augmented_k",
+      "augmented_m", "augmented_a")
+    val oobNames = Seq("seed", "batch1", "batch2", "batch3", "batch1_b")
+      .map(n => s"oob_test_$n.txt")
+    val paths = (corpusCodes ++ augCodes).map(c => s"$baseDir/${c}_training.txt") ++
+      Seq("d", "c", "kd", "m").map(c => s"$baseDir/${c}_test.txt") ++
+      oobNames.map(n => s"$baseDir/$n")
+    val names = paths.map(_.split("/").last)
+    val tagging = Seq.fill(5)("NER and dictionary matching") ++
+      Seq.fill(5)("NER and dictionary matching + data augmentation") ++
+      Seq.fill(4)("NER and dictionary matching") ++ Seq(
+        "NER and dictionary matching, with only unseen entities",
+        "NER and dictionary matching, with only unseen entities and entity random replacement strategy",
+        "NER and dictionary matching, with only unseen entities and context noise injection",
+        "NER and dictionary matching, with only unseen entities,     entity random replacement from dictionary and context noise injection",
+        "NER and dictionary matching, with only unseen entities and entity random replacement strategy")
+    val generation = Seq.fill(10)("train test split： training ") ++
+      Seq.fill(9)("train test split： testing ")
+    val usage = Seq.fill(10)("训练") ++ Seq.fill(9)("测试")
+    trainCorpora.indices.map { i =>
+      (trainCorpora(i), names(i), paths(i), tagging(i), generation(i),
+        usage(i), CrteTime, Crter)
+    }.toDF("corpus", "dataset_name", "dataset_paths", "tagging_method",
+      "generation_method", "usage", "creation_time", "created_by")
+  }
+
+  /** ner_info (clean_and_save.py:1250-1267): one row per scorer model plus
+    * the ensemble. The reference's positional rename maps design_path →
+    * doc_save, model_path → code_save, code_path → conf_save — replicated
+    * as-is (schema parity).
+    */
+  def nerInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val scorers = Ontology.models.map { m =>
+      (m, s"${corpusNames.getOrElse(m, m)}训练的crf_style_scorer", "",
+        s"${m}_training.txt", s"docs/scorer_$m.md",
+        s"models/scorer_$m.bin", s"graft/ner/CrfScorer.scala")
+    }
+    val ensemble = (
+      "ensemble", "集成模型", Ontology.models.mkString(","),
+      "a_training.txt", "docs/ensemble.md", "models/ensemble.bin",
+      "graft/ner/Ensembles.scala")
+    (scorers :+ ensemble).map { case (id, name, subs, ds, doc, code, conf) =>
+      (id, name, subs, ds, doc, code, conf, CrteTime, Crter)
+    }.toDF("ner_model_id", "ner_model_name", "submodel_list", "dataset_id",
+      "doc_save", "code_save", "conf_save", "crte_time", "crter")
+  }
+
+  /** ner_eval (clean_and_save.py:1275-1300): model_eval_results re-columned
+    * for the warehouse — the reference's positional mapping is
+    * strict → conf_precision, exact → conf_coordinate,
+    * type → conf_entitytype, partial → conf_vague_coor, and
+    * model_conf = prob = the strict score (probs[0], :741).
+    */
+  def nerEval(spark: SparkSession): DataFrame =
+    modelEvalResults(spark).select(
+      col("model_id").as("ner_model_id"),
+      col("dataset").as("dataset_id"),
+      col("ent_type").as("onto_id"),
+      col("strict_p").as("conf_precision"),
+      col("exact_p").as("conf_coordinate"),
+      col("type_p").as("conf_entitytype"),
+      col("partial_p").as("conf_vague_coor"),
+      col("strict_p").as("model_conf"),
+      lit(CrteTime).as("crte_time"),
+      lit(Crter).as("crter"))
+
+  /** source_labeled (clean_and_save.py:1223-1245): training datasets joined
+    * to the knowledge sources they were labeled from — souc_id is the
+    * sorted set of corpus_info source ids of the dataset's corpus type
+    * (全量数据 → every source), exactly the reference's list-valued column.
+    */
+  def sourceLabeled(training: DataFrame, corpusInfo: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val byType = corpusInfo
+      .groupBy(col("source_type"))
+      .agg(sort_array(collect_set(col("source_id"))).as("souc_id"))
+    val allIds = corpusInfo
+      .agg(sort_array(collect_set(col("source_id"))).as("all_ids"))
+    training
+      .join(broadcast(byType), col("corpus") === col("source_type"), "left")
+      .crossJoin(broadcast(allIds))
+      .select(
+        col("dataset_name").as("dataset_id"),
+        when(col("corpus") === corpusNames("a"), col("all_ids"))
+          .otherwise(coalesce(col("souc_id"),
+            array().cast("array<string>"))).as("souc_id"),
+        col("tagging_method").as("label_meth"),
+        col("generation_method").as("gene_meth"),
+        col("dataset_paths").as("dataset_save"),
+        lit(CrteTime).as("crte_time"),
+        lit(Crter).as("crter"))
+  }
 }

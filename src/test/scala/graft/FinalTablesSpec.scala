@@ -65,4 +65,69 @@ class FinalTablesSpec extends AnyFunSuite {
     assert(FinalTables.modelEvalResults(spark).count() ==
       4L * 4 * graft.model.Ontology.essentialTypes.size)
   }
+
+  test("training_info: 19-row registry, reference quirks pinned") {
+    val ti = FinalTables.trainingInfo(spark)
+    assert(ti.columns.toSeq == Seq("corpus", "dataset_name", "dataset_paths",
+      "tagging_method", "generation_method", "usage", "creation_time",
+      "created_by"))
+    val rows = ti.collect()
+    assert(rows.length == 19)
+    assert(rows.count(_.getString(5) == "训练") == 10)
+    assert(rows.count(_.getString(5) == "测试") == 9)
+    // reference quirk: augmented_k, not augmented_kd (clean_and_save.py:753)
+    assert(rows.exists(_.getString(1) == "augmented_k_training.txt"))
+    assert(!rows.exists(_.getString(1) == "augmented_kd_training.txt"))
+    // full-width colon + trailing space (:780)
+    assert(rows.forall(_.getString(4).startsWith("train test split： ")))
+    assert(rows.forall(_.getString(4).endsWith(" ")))
+    // the backslash-continuation five-space run (:774-775)
+    assert(rows.exists(_.getString(3).contains("entities,     entity")))
+    assert(rows.count(_.getString(1).startsWith("oob_test_")) == 5)
+  }
+
+  test("ner_info: one row per scorer plus ensemble, warehouse schema") {
+    val ni = FinalTables.nerInfo(spark)
+    assert(ni.columns.toSeq == Seq("ner_model_id", "ner_model_name",
+      "submodel_list", "dataset_id", "doc_save", "code_save", "conf_save",
+      "crte_time", "crter"))
+    val rows = ni.collect()
+    assert(rows.length == graft.model.Ontology.models.size + 1)
+    val ens = rows.find(_.getString(0) == "ensemble").get
+    assert(ens.getString(2) == graft.model.Ontology.models.mkString(","))
+    assert(ens.getString(3) == "a_training.txt")
+    rows.filter(_.getString(0) != "ensemble").foreach { r =>
+      assert(r.getString(2) == "")
+      assert(r.getString(3) == s"${r.getString(0)}_training.txt")
+    }
+  }
+
+  test("ner_eval: re-columned eval matrix, model_conf = strict score") {
+    val ne = FinalTables.nerEval(spark)
+    assert(ne.columns.toSeq == Seq("ner_model_id", "dataset_id", "onto_id",
+      "conf_precision", "conf_coordinate", "conf_entitytype",
+      "conf_vague_coor", "model_conf", "crte_time", "crter"))
+    assert(ne.count() == FinalTables.modelEvalResults(spark).count())
+    // model_conf is the strict score (prob = probs[0], clean_and_save.py:741)
+    assert(ne.collect().forall(r => r.getDouble(3) == r.getDouble(7)))
+  }
+
+  test("source_labeled: dataset → labeled-source ids; 全量数据 gets all") {
+    val ci = FinalTables.corpusInfo(arts)
+    val sl = FinalTables.sourceLabeled(FinalTables.trainingInfo(spark), ci)
+    assert(sl.columns.toSeq == Seq("dataset_id", "souc_id", "label_meth",
+      "gene_meth", "dataset_save", "crte_time", "crter"))
+    val rows = sl.collect()
+    assert(rows.length == 19)
+    val allIds = ci.select("source_id").collect()
+      .map(_.getString(0)).toSet
+    // the 全量数据 datasets carry every source id
+    val aRow = rows.find(_.getString(0) == "a_training.txt").get
+    assert(aRow.getSeq[String](1).toSet == allIds)
+    // corpus-specific datasets carry only their type's sources (possibly
+    // empty if that corpus type is absent from the synthetic pages)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toSet.subsetOf(allIds))
+    }
+  }
 }
