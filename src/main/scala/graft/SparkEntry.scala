@@ -399,7 +399,7 @@ object SparkEntry {
       import s.implicits._
       implicit val sp = s
       val arts = graft.pipeline.Pipeline.artifacts(
-        graft.corpus.Corpus.pages(s, 30, 4))
+        graft.corpus.Corpus.pages(s, 250, 8))
       val seen = arts.flatMap(_.row.seg
         .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
         .map(_.word)).distinct().toDF("word")
@@ -432,7 +432,7 @@ object SparkEntry {
     }),
     // ---- custom TypedImperativeAggregate: bounded top-k frequent items ----
     "kg_top_surfaces" -> ((s, _) => {
-      graft.pipeline.Pipeline.triples(s, 30, 4).toDF()
+      graft.pipeline.Pipeline.triples(s, 250, 8).toDF()
         .groupBy(col("objType"))
         .agg(graft.functions.TopKFreq.top_k_freq(col("obj"), 5).as("top5"))
         .select(col("objType"), explode(col("top5")).as("t"))
@@ -440,7 +440,7 @@ object SparkEntry {
           col("t.cnt").as("n"))
     }),
     // ---- KG pipeline entries ----
-    "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 30, 4).toDF()),
+    "kg_triples" -> ((s, _) => graft.pipeline.Pipeline.triples(s, 250, 8).toDF()),
     "kg_group_taboo" -> ((s, _) => graft.pipeline.Pipeline.groupTriples(s).toDF()),
     // input/intermediate dumps feeding the {OUT}-based oracles above/below:
     // kg_drug_instructions lets DuckDB re-derive kg_group_taboo (P11 taboo
@@ -458,12 +458,12 @@ object SparkEntry {
       import s.implicits._
       implicit val sp = s
       graft.pipeline.Pipeline.artifacts(
-        graft.corpus.Corpus.pages(s, 30, 4))
+        graft.corpus.Corpus.pages(s, 250, 8))
         .flatMap(_.row.seg
           .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
           .map(_.word)).distinct().toDF("word")
     }),
-    // raw per-sentence entity rows + lineage (same 30-page corpus as
+    // raw per-sentence entity rows + lineage (same 250-page corpus as
     // kg_triples): lets the DuckDB oracle re-derive the FLAGSHIP triple
     // assembly — 0.7 short-dict-prob adjust, A3 max-prob dedup with the
     // reference's model-category rank tie-break, essential-type filter,
@@ -472,7 +472,7 @@ object SparkEntry {
       import s.implicits._
       implicit val sp = s
       graft.pipeline.Pipeline.artifacts(
-        graft.corpus.Corpus.pages(s, 30, 4))
+        graft.corpus.Corpus.pages(s, 250, 8))
         .flatMap { a =>
           a.entities.map(e => (a.row.ind, a.row.entity1, a.row.entity1Type,
             a.row.paragraph, e.model, e.entName, e.entType, e.start, e.prob))
