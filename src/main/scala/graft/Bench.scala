@@ -304,12 +304,14 @@ object Bench {
     val realPairs =
       Seq(realPair1, realPair2, realPair3, realPair4).flatten
     if (realPairs.nonEmpty) {
-      // MEDIAN of the control-normalized pairs (lower of the middle two for
-      // an even count — the conservative side), never the max: with four
+      // MEDIAN of the control-normalized pairs (standard definition: mean
+      // of the middle two for an even count), never the max: with four
       // samples minutes apart, a max would systematically pick the sample
       // whose denominator run hit the deepest throttle phase
-      val sortedPairs = realPairs.sorted
-      val median = sortedPairs((sortedPairs.size - 1) / 2)
+      val sp = realPairs.sorted
+      val median =
+        if (sp.size % 2 == 1) sp(sp.size / 2)
+        else (sp(sp.size / 2 - 1) + sp(sp.size / 2)) / 2.0
       results += "scaling_efficiency_real_executors" -> median
     }
     // headline: the real separate-JVM executor median when available (the

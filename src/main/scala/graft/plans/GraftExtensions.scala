@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Lower, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{RollingHash, TopKFreq}
+import graft.functions.{CosineSim, RollingHash, TopKFreq}
 
 /** The library's `SparkSessionExtensions` entry point — enable with
   *
@@ -14,9 +14,11 @@ import graft.functions.{RollingHash, TopKFreq}
   * (or `SparkSession.builder().withExtensions(new GraftExtensions()(_))`).
   * Injects:
   *   - the native SQL functions `rolling_hash(text)` (codegen scalar,
-  *     functions/RollingHash.scala) and `top_k_freq(col, k[, capacity])`
-  *     (bounded Misra-Gries aggregate, functions/TopKFreq.scala), so pure-SQL
-  *     users get them without touching the Scala API;
+  *     functions/RollingHash.scala), `cosine_sim(a, b)` (fused codegen
+  *     cosine over float arrays, functions/CosineSim.scala) and
+  *     `top_k_freq(col, k[, capacity])` (bounded Misra-Gries aggregate,
+  *     functions/TopKFreq.scala), so pure-SQL users get them without
+  *     touching the Scala API;
   *   - [[CollapseRepeatedCaseFold]], a small sound algebraic rule
   *     (idempotent case-folds collapse).
   */
@@ -25,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.topKFreqDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectOptimizerRule(_ => CollapseRepeatedCaseFold)
   }
 }
@@ -42,6 +45,12 @@ object GraftExtensions {
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head))
+
+  val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
 
   val topKFreqDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -18,14 +18,25 @@ import graft.util.Hashing
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in double —
-    * pure `functions._` (codegen'd, no UDF). Zero-norm vectors yield NULL
-    * (try_divide: 0/0 would throw under ANSI mode, NaN without it — and NaN
-    * sorts GREATEST under `desc`, outranking every real neighbor); ranking
-    * paths map that NULL to -1.0 via [[simOrNeg]] so degenerate vectors sort
-    * last instead of first or crashing the job.
+  /** Cosine similarity between two float-array columns, computed in double.
+    * Since round 3 this is the native codegen Catalyst expression
+    * [[graft.functions.CosineSim]] — one fused generated loop instead of
+    * four interpreted higher-order-function array walks (HOFs are
+    * CodegenFallback; the cosine is the innermost kernel of every ANN /
+    * near-dup candidate pair, so it must live inside the codegen stage).
+    * Zero-norm vectors yield NULL (try_divide parity: 0/0 would throw under
+    * ANSI mode, NaN without it — and NaN sorts GREATEST under `desc`,
+    * outranking every real neighbor); ranking paths map that NULL to -1.0
+    * via [[simOrNeg]] so degenerate vectors sort last instead of first or
+    * crashing the job. Bit-exact parity with [[cosineHof]] is spec-pinned.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** The pre-round-3 pure-`functions._` composition, kept as the reference
+    * implementation the parity spec checks the native expression against.
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0),
