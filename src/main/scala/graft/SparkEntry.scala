@@ -886,6 +886,22 @@ object SparkEntry {
          |        unnest([woman, children, agedness]) AS txt
          |      FROM read_parquet('{OUT}/kg_drug_instructions/*.parquet'))""".stripMargin
     },
+    // deterministic-fixture dumps pinned by VALUES literals GENERATED from
+    // the same Scala sources (single source of truth — the dumps feed the
+    // kg_seen_unseen / kg_group_taboo oracles, so their content is now
+    // checked directly too, not only through consumers)
+    "kg_refined_dict" -> {
+      val words = graft.corpus.Vocab.refinedDict.keys.toSeq.sorted
+        .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+      s"SELECT unnest([$words]) AS word"
+    },
+    "kg_drug_instructions" -> {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val rows = graft.corpus.Fixtures.drugInstructions(60).map { d =>
+        s"(${q(d.product)}, ${q(d.woman)}, ${q(d.children)}, ${q(d.agedness)})"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $rows) t(product, woman, children, agedness)"
+    },
     // A11/U2 set semantics re-derived over the dumped seen-surface and
     // refined-dictionary tables
     "kg_seen_unseen" ->
