@@ -362,6 +362,11 @@ object SparkEntry {
         graft.textops.Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2))
     }),
     // ---- deterministic stratified sampling (downsample majority lang) ----
+    // ---- Gopher-style repetition quality signals (dup lines, top n-grams) --
+    "tq_repetition" -> ((s, dir) => {
+      graft.textops.TextOps.repetitionSignalsDf(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
     "tq_sample_stratified" -> ((s, dir) => {
       graft.textops.TextOps.stratifiedSample(
         t(s, dir, "documents"), "doc_id", "lang",
@@ -826,6 +831,8 @@ object SparkEntry {
         |)
         |SELECT v AS doc_id, cluster, (v = cluster) AS keep FROM (
         |  SELECT v, min(u) AS cluster FROM reach GROUP BY v)""".stripMargin,
+    "tq_repetition" ->
+      graft.textops.TextOps.repetitionSignalsSql("documents"),
     "tq_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100

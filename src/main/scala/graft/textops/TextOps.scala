@@ -269,6 +269,118 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // ---- repetition-based quality signals (Gopher-style) --------------------
+
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 — the
+    * standard web-corpus repetition filters, also used by C4/RefinedWeb
+    * pipelines): fraction of characters in duplicated lines, and fraction
+    * of characters covered by the most frequent word 2-gram / 3-gram.
+    * Integer-scaled (×1e6, floor via integer division) so both engines
+    * hash identically. Row-local — at 100 TB this runs inside the scan
+    * stage with zero shuffle.
+    *
+    * Returns (dupLineFracX1e6, top2FracX1e6, top3FracX1e6). Tie-break for
+    * the top gram: highest count, then lexicographically smallest gram
+    * (deterministic, engine-independent).
+    */
+  def repetitionSignals(text: String): (Long, Long, Long) = {
+    if (text == null || text.isEmpty) return (0L, 0L, 0L)
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val lineCounts = new scala.collection.mutable.HashMap[String, Int]
+    lines.foreach(l => lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1))
+    var dupChars = 0L
+    var totalLineChars = 0L
+    lines.foreach { l =>
+      totalLineChars += l.length
+      if (lineCounts(l) > 1) dupChars += l.length
+    }
+    val dupFrac = dupChars * 1000000L / math.max(totalLineChars, 1L)
+    val words = text.split(" +").filter(_.nonEmpty)
+    def topGramFrac(n: Int): Long = {
+      if (words.length < n) return 0L
+      val counts = new scala.collection.mutable.HashMap[String, Int]
+      words.sliding(n).foreach { w =>
+        val g = w.mkString(" ")
+        counts.update(g, counts.getOrElse(g, 0) + 1)
+      }
+      var bestG: String = null
+      var bestC = 0
+      counts.foreach { case (g, c) =>
+        if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+          bestG = g; bestC = c
+        }
+      }
+      bestC.toLong * bestG.length * 1000000L / math.max(text.length, 1L)
+    }
+    (dupFrac, topGramFrac(2), topGramFrac(3))
+  }
+
+  /** DataFrame form of [[repetitionSignals]]:
+    * (doc_id, dup_line_frac_x1e6, top2_frac_x1e6, top3_frac_x1e6).
+    */
+  def repetitionSignalsDf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (d, g2, g3) = repetitionSignals(t)
+        (id, d, g2, g3)
+      }
+      .toDF("doc_id", "dup_line_frac_x1e6", "top2_frac_x1e6",
+        "top3_frac_x1e6")
+  }
+
+  /** The DuckDB mirror of [[repetitionSignalsDf]] over a `documents`-shaped
+    * table (same integer arithmetic, same tie-break).
+    */
+  def repetitionSignalsSql(table: String): String =
+    s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM $table),
+       |lines AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+       |    l -> len(l) > 0)) AS line
+       |  FROM base),
+       |lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+       |       FROM lines GROUP BY doc_id, line),
+       |dupf AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END), 0)
+       |      * 1000000 // greatest(coalesce(sum(c * ln), 0), 1) AS BIGINT)
+       |      AS dup_line_frac_x1e6
+       |  FROM lc GROUP BY doc_id),
+       |wrds AS (SELECT doc_id, length(text) AS n_chars,
+       |    list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+       |  FROM base),
+       |grams AS (
+       |  SELECT doc_id, n_chars, 2 AS n,
+       |    unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+       |      i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM wrds
+       |  UNION ALL
+       |  SELECT doc_id, n_chars, 3 AS n,
+       |    unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+       |  FROM wrds),
+       |gc AS (SELECT doc_id, n, g, n_chars, count(*) AS c
+       |       FROM grams GROUP BY doc_id, n, g, n_chars),
+       |topg AS (
+       |  SELECT doc_id, n,
+       |    CAST(c * len(g) * 1000000 // greatest(n_chars, 1) AS BIGINT) AS frac
+       |  FROM (SELECT doc_id, n, g, n_chars, c, row_number() OVER
+       |          (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+       |        FROM gc)
+       |  WHERE rn = 1)
+       |SELECT b.doc_id,
+       |  coalesce(d.dup_line_frac_x1e6, 0) AS dup_line_frac_x1e6,
+       |  coalesce(t2.frac, 0) AS top2_frac_x1e6,
+       |  coalesce(t3.frac, 0) AS top3_frac_x1e6
+       |FROM base b
+       |LEFT JOIN dupf d ON d.doc_id = b.doc_id
+       |LEFT JOIN topg t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+       |LEFT JOIN topg t3 ON t3.doc_id = b.doc_id AND t3.n = 3""".stripMargin
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —

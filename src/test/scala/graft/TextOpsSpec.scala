@@ -161,6 +161,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("dropped_ids") >= 0L)
   }
 
+  test("repetition signals: Gopher-style dup lines and top n-gram coverage") {
+    // duplicate-line fraction: "aaaa" appears twice among 3 lines
+    val withDup = "aaaa\naaaa\nbb cc dd"
+    val (dl, _, _) = TextOps.repetitionSignals(withDup)
+    assert(dl == 8L * 1000000L / 16L) // 2x4 dup chars over 16 line chars
+    // top-bigram coverage on a single line (words split on spaces only):
+    // bigrams (dup dup),(dup x),(x dup),(dup dup) -> "dup dup" c=2 len=7
+    val t = "dup dup x dup dup"
+    val (d0, g2, g3) = TextOps.repetitionSignals(t)
+    assert(d0 == 0L) // one unique line
+    assert(g2 == 2L * 7L * 1000000L / t.length)
+    // trigrams all c=1 -> smallest gram "dup dup x" (9 chars)
+    assert(g3 == 9L * 1000000L / t.length)
+    assert(TextOps.repetitionSignals("") == ((0L, 0L, 0L)))
+    assert(TextOps.repetitionSignals(null) == ((0L, 0L, 0L)))
+    val (d2, _, _) = TextOps.repetitionSignals("a b c")
+    assert(d2 == 0L)
+  }
+
   test("empty embeddings: no quantizer, empty IVF result (no crash)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
