@@ -30,6 +30,46 @@ import graft.model.{Mention, Ontology, Token}
   */
 object Merge {
 
+  /** Canonical tag → small-int registry for the combiner hot path. The tag
+    * vocabulary is CLOSED (ontology types, jieba-reverse values, "x"), and
+    * every tag string in the pipeline originates from a literal or an
+    * Ontology collection — i.e. a JVM-interned constant — so an identity
+    * lookup hits ~always; a value-equality fallback keeps correctness for
+    * any non-interned equal string. Unknown tags map to -1, which can never
+    * equal a candidate-series id (all ≥ 0), so aliasing of distinct unknown
+    * tags is harmless: series matching only compares against known ids.
+    */
+  private[merge] object TagIds {
+    val all: IndexedSeq[String] =
+      (Ontology.jiebaReverse.values.toSeq ++ Ontology.fuzzyMiddleTags ++
+        Ontology.essentialTypes.toSeq ++
+        Seq("x", "SUR", "DRU", "ORG", "DIS", "TES", "SYM", "EQM", "BFL",
+          "DEG", "OGN", "OBJ")).distinct.toIndexedSeq
+    require(all.size <= 64, s"tag vocabulary ${all.size} exceeds bitmask width")
+    private val byValue: Map[String, Int] = all.zipWithIndex.toMap
+    private val byRef = {
+      val m = new java.util.IdentityHashMap[String, Integer](all.size * 4)
+      all.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+      m
+    }
+    def idOf(tag: String): Int = {
+      val r = byRef.get(tag)
+      if (r != null) r.intValue else byValue.getOrElse(tag, -1)
+    }
+  }
+
+  /** A candidate-series set preprocessed for the hot path: the original
+    * string series (the matched series' LAST tag becomes the merged token's
+    * tag), the same series as canonical ids, and a per-series presence
+    * bitmask for the O(1) prefilter.
+    */
+  private[merge] final class SeriesSet(val series: Array[Array[String]]) {
+    val ids: Array[Array[Int]] = series.map(_.map(TagIds.idOf))
+    require(ids.forall(_.forall(_ >= 0)),
+      "candidate series contain a tag outside the closed vocabulary")
+    val masks: Array[Long] = ids.map(_.foldLeft(0L)((m, i) => m | (1L << i)))
+  }
+
   /** First occurrence of `a` as a slice of `x` (clean_and_save.py:59-62).
     * Array-indexed — this runs ~100 candidate sequences × every window start
     * × every sentence, so no per-window slicing/allocation (a List.slice here
@@ -94,50 +134,74 @@ object Merge {
       poSeries: Seq[Seq[String]]
   ): Seq[Token] =
     scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      wordsCombinerArr(sentence, seg.toArray, poSeries.map(_.toArray).toArray,
+      wordsCombinerArr(sentence, seg.toArray,
+        new SeriesSet(poSeries.map(_.toArray).toArray),
         deletePos2 = false))
+
+  /** First occurrence of id-series `a` as a slice of `x` — the int form of
+    * [[isAInX]] (tag-id equality ⇔ tag-string equality: equal strings share
+    * an id via TagIds, and the -1 unknown id never equals a series id).
+    */
+  private def isAInXIds(a: Array[Int], x: Array[Int]): Int = {
+    val alen = a.length
+    var i = 0
+    val last = x.length - alen
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < alen) {
+        if (x(i + j) != a(j)) ok = false else j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
 
   /** Shared combiner core; `deletePos2` distinguishes the plain combiner
     * (3rd token survives, :99-103) from the fuzzy one (pos+2 deleted too,
     * :227-233). Array-in/array-out so the round chains allocate nothing
-    * between passes; a tag-presence prefilter skips the (large majority of)
-    * candidate series whose tags don't all occur in the sentence — pure
-    * short-circuit, first-match semantics unchanged.
+    * between passes. The hot path works on canonical tag IDS: the sentence's
+    * tag-presence set is one 64-bit mask, the per-series prefilter one
+    * mask-AND (was a string HashSet probe per series tag), and the
+    * first-match scan compares ints — pure representation change,
+    * first-match semantics identical (goldens pin the outputs).
     */
   private def wordsCombinerArr(
       sentence: String,
       seg: Array[Token],
-      poSeries: Array[Array[String]],
+      po: SeriesSet,
       deletePos2: Boolean
   ): Array[Token] = {
-    val segs = new Array[String](seg.length)
+    val segIds = new Array[Int](seg.length)
     val words = new Array[String](seg.length)
-    val present = new java.util.HashSet[String](seg.length * 2)
+    var present = 0L
     var i = 0
     while (i < seg.length) {
-      segs(i) = seg(i).tag; words(i) = seg(i).word
-      present.add(seg(i).tag)
+      val id = TagIds.idOf(seg(i).tag)
+      segIds(i) = id
+      if (id >= 0) present |= 1L << id
+      words(i) = seg(i).word
       i += 1
     }
+    val seriesIds = po.ids
+    val masks = po.masks
     var jDict: mutable.LinkedHashMap[Int, Token] = null
     var s = 0
-    while (s < poSeries.length) {
-      val seq = poSeries(s)
-      var possible = true
-      var k = 0
-      while (possible && k < seq.length) {
-        if (!present.contains(seq(k))) possible = false
-        k += 1
-      }
-      if (possible) {
-        val (pos, contains) = isAInX(seq, segs)
-        if (contains) {
+    while (s < seriesIds.length) {
+      val need = masks(s)
+      if ((present & need) == need) {
+        val seq = seriesIds(s)
+        val pos = isAInXIds(seq, segIds)
+        if (pos >= 0) {
+          val strSeq = po.series(s)
           val start = prevEnd(seg, pos)
           val combined = combineWords(words, pos, seq.length)
           if (combined.length < 12 && !rejected(combined, sentence)) {
             if (jDict == null) jDict = toDict(seg)
             jDict.put(pos,
-              Token(combined, seq(seq.length - 1), start, start + combined.length))
+              Token(combined, strSeq(strSeq.length - 1), start,
+                start + combined.length))
             val had = jDict.contains(pos + 1)
             jDict.remove(pos + 1)
             if (deletePos2 && had && seq.length == 3) jDict.remove(pos + 2)
@@ -154,14 +218,14 @@ object Merge {
     * (preTypes, centerType) combos so cache them per JVM.
     */
   private val fuzzySeriesCache =
-    new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), Array[Array[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), SeriesSet]()
 
-  private def fuzzySeries(preTypes: Seq[String], centerType: String): Array[Array[String]] =
+  private def fuzzySeries(preTypes: Seq[String], centerType: String): SeriesSet =
     fuzzySeriesCache.computeIfAbsent((preTypes, centerType), { _ =>
-      preTypes.flatMap { pt =>
+      new SeriesSet(preTypes.flatMap { pt =>
         Seq(Array(pt, centerType)) ++
           Ontology.fuzzyMiddleTags.map(t => Array(pt, t, centerType))
-      }.toArray
+      }.toArray)
     })
 
   /** `words_combiner_fuzzy` (clean_and_save.py:177-236): expands
@@ -192,20 +256,31 @@ object Merge {
       suffixType: String
   ): Seq[Token] =
     scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      suffixCombinerArr(sentence, segIn.toArray, suffix, desired, suffixType))
+      suffixCombinerArr(sentence, segIn.toArray, suffix, maskOf(desired),
+        suffixType))
+
+  /** Presence bitmask of a (closed-vocabulary) tag set. */
+  private def maskOf(tags: Set[String]): Long =
+    tags.foldLeft(0L) { (m, t) =>
+      val id = TagIds.idOf(t)
+      require(id >= 0, s"tag $t outside the closed vocabulary")
+      m | (1L << id)
+    }
 
   private def suffixCombinerArr(
       sentence: String,
       seg: Array[Token],
       suffix: Set[String],
-      desired: Set[String],
+      desiredMask: Long,
       suffixType: String
   ): Array[Token] = {
     var jDict: mutable.LinkedHashMap[Int, Token] = null
     var dt = 0
     while (dt < seg.length - 1) {
       val md = seg(dt)
-      if (desired.contains(md.tag) && suffix.contains(seg(dt + 1).word)) {
+      val id = TagIds.idOf(md.tag)
+      if (id >= 0 && (desiredMask & (1L << id)) != 0L &&
+        suffix.contains(seg(dt + 1).word)) {
         val start = prevEnd(seg, dt)
         val combined = md.word + seg(dt + 1).word
         if (!rejected(combined, sentence)) {
@@ -268,12 +343,12 @@ object Merge {
     * (:241-242) — the combiners are pure (they deep-copy), so we skip the
     * dead work.
     */
-  private val R1WordsA: Array[Array[String]] = Array(
+  private val R1WordsA: SeriesSet = new SeriesSet(Array(
     Array("SUR", "DRU"), Array("ORG", "SUR"), Array("DIS", "SUR"),
-    Array("TES", "SUR"))
-  private val R1WordsB: Array[Array[String]] = Array(
+    Array("TES", "SUR")))
+  private val R1WordsB: SeriesSet = new SeriesSet(Array(
     Array("SUR", "SUR"), Array("ORG", "SUR"), Array("DIS", "SUR"),
-    Array("TES", "SUR"))
+    Array("TES", "SUR")))
 
   def round1(sentence: String, seg: Seq[Token]): Seq[Token] = {
     var s = seg.toArray
@@ -292,8 +367,8 @@ object Merge {
   }
 
   /** `round_2` (clean_and_save.py:248-263). `suffixDict` is surface → TYPE. */
-  private val R2Words: Array[Array[String]] = Array(
-    Array("SUR", "SUR"), Array("ORG", "SUR"), Array("DIS", "SUR"))
+  private val R2Words: SeriesSet = new SeriesSet(Array(
+    Array("SUR", "SUR"), Array("ORG", "SUR"), Array("DIS", "SUR")))
 
   /** Per-type suffix sets, precomputed once per partition (round2 runs per
     * sentence; rebuilding 5 filtered sets each time showed in profiles).
@@ -318,22 +393,22 @@ object Merge {
   ): Seq[Token] =
     round2(sentence, seg, SuffixSets.from(suffixDict))
 
+  private val MaskDisSymBflOrg = maskOf(Set("DIS", "SYM", "BFL", "ORG"))
+  private val MaskSurTesBflEqm = maskOf(Set("SUR", "TES", "BFL", "EQM"))
+  private val MaskSixTypes =
+    maskOf(Set("SUR", "TES", "ORG", "DIS", "SYM", "BFL"))
+
   def round2(
       sentence: String,
       seg: Seq[Token],
       sets: SuffixSets
   ): Seq[Token] = {
     var s = seg.toArray
-    s = suffixCombinerArr(sentence, s, sets.sym,
-      Set("DIS", "SYM", "BFL", "ORG"), "SYM")
-    s = suffixCombinerArr(sentence, s, sets.dis,
-      Set("DIS", "SYM", "BFL", "ORG"), "DIS")
-    s = suffixCombinerArr(sentence, s, sets.eqm,
-      Set("SUR", "TES", "BFL", "EQM"), "EQM")
-    s = suffixCombinerArr(sentence, s, sets.tes,
-      Set("SUR", "TES", "ORG", "DIS", "SYM", "BFL"), "TES")
-    s = suffixCombinerArr(sentence, s, sets.sur,
-      Set("SUR", "TES", "ORG", "DIS", "SYM", "BFL"), "SUR")
+    s = suffixCombinerArr(sentence, s, sets.sym, MaskDisSymBflOrg, "SYM")
+    s = suffixCombinerArr(sentence, s, sets.dis, MaskDisSymBflOrg, "DIS")
+    s = suffixCombinerArr(sentence, s, sets.eqm, MaskSurTesBflEqm, "EQM")
+    s = suffixCombinerArr(sentence, s, sets.tes, MaskSixTypes, "TES")
+    s = suffixCombinerArr(sentence, s, sets.sur, MaskSixTypes, "SUR")
     s = wordsCombinerArr(sentence, s, R2Words, deletePos2 = false)
     s = wordsCombinerArr(sentence, s,
       fuzzySeries(Seq("ORG", "DIS", "DRU", "OBJ", "BFL"), "TES"),
