@@ -20,6 +20,39 @@ object Confidence {
 
   type EvalMatrix = Map[String, Map[String, Array[Double]]]
 
+  /** Essentialness by scorer type INDEX — CrfScorer.Types is fixed, so the
+    * per-span membership guard is one array read instead of a string-set
+    * probe (hot path: 5 calls per sentence).
+    */
+  private val essentialByTypeIdx: Array[Boolean] =
+    CrfScorer.Types.map(Ontology.essentialTypes.contains).toArray
+
+  /** (dsEval instance, modelKey) → per-type-index metric rows. The eval
+    * maps are a handful of long-lived fixture/derived instances, so an
+    * identity-keyed memo turns the per-span nested string-map lookup
+    * `dsEval(modelKey)(tpe)` into one array read. A type missing from the
+    * model's map memoizes as null and falls back to the original lookup
+    * (same exception behavior).
+    */
+  private final class EvalKey(val eval: AnyRef, val model: String) {
+    override def hashCode: Int =
+      System.identityHashCode(eval) * 31 + model.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: EvalKey => (k.eval eq eval) && k.model == model
+      case _ => false
+    }
+  }
+  private val evalIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[EvalKey, Array[Array[Double]]]()
+
+  private def evalByTypeIdx(
+      dsEval: Map[String, Map[String, Array[Double]]],
+      modelKey: String): Array[Array[Double]] =
+    evalIdxCache.computeIfAbsent(new EvalKey(dsEval, modelKey), { _ =>
+      val m = dsEval(modelKey)
+      CrfScorer.Types.map(t => m.getOrElse(t, null)).toArray
+    })
+
   /** Mentions + confidences for one model's tagged sequence.
     *
     * @param dsEval   eval metrics for this dataset: model → type → [4]
@@ -50,15 +83,19 @@ object Confidence {
     val (typeIdxs, spans) = BioRaw.getPositions(tagged.labels)
     val probs = tagged.probs
     val isEnsemble = modelKey.contains("ensemble")
+    // loop-invariant: the model's per-type metric rows, pre-indexed by
+    // scorer type index (null row → fall back to the original map apply)
+    val modelEval = if (isEnsemble) null else evalByTypeIdx(dsEval, modelKey)
     val out = Seq.newBuilder[EntityRow]
     var k = 0
     while (k < spans.length) {
       val s = BioRaw.spanStart(spans(k))
       val e = BioRaw.spanEnd(spans(k))
-      val tpe = CrfScorer.Types(typeIdxs(k))
+      val ti = typeIdxs(k)
+      val tpe = CrfScorer.Types(ti)
       // all scorer types are essential by construction; keep the reference's
       // membership guard for ensemble sequences fed from elsewhere
-      if (Ontology.essentialTypes.contains(tpe)) {
+      if (essentialByTypeIdx(ti)) {
         var sum = 0.0
         var i = s
         val e2 = math.min(e, probs.length)
@@ -66,7 +103,10 @@ object Confidence {
         val mean = if (e2 > s) sum / (e2 - s) else 0.0
         val ps =
           if (!isEnsemble) {
-            val m = dsEval(modelKey)(tpe)
+            val m = {
+              val r = modelEval(ti)
+              if (r != null) r else dsEval(modelKey)(tpe)
+            }
             Array(mean * m(0), mean * m(1), mean * m(2), mean * m(3))
           } else {
             val voters = spanModels.getOrElse((s, e), Seq.empty)
