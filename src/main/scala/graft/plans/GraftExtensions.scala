@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Lower, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CosineSim, RollingHash, TopKFreq}
+import graft.functions.{BoundedEnds, CosineSim, RollingHash, TopKFreq}
 
 /** The library's `SparkSessionExtensions` entry point — enable with
   *
@@ -15,9 +15,11 @@ import graft.functions.{CosineSim, RollingHash, TopKFreq}
   * Injects:
   *   - the native SQL functions `rolling_hash(text)` (codegen scalar,
   *     functions/RollingHash.scala), `cosine_sim(a, b)` (fused codegen
-  *     cosine over float arrays, functions/CosineSim.scala) and
+  *     cosine over float arrays, functions/CosineSim.scala),
   *     `top_k_freq(col, k[, capacity])` (bounded Misra-Gries aggregate,
-  *     functions/TopKFreq.scala), so pure-SQL users get them without
+  *     functions/TopKFreq.scala) and `bounded_ends(col, k)` (exact
+  *     O(k)-memory k-smallest/k-largest aggregate,
+  *     functions/BoundedEnds.scala), so pure-SQL users get them without
   *     touching the Scala API;
   *   - [[CollapseRepeatedCaseFold]], a small sound algebraic rule
   *     (idempotent case-folds collapse).
@@ -28,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.topKFreqDescriptor)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.boundedEndsDescriptor)
     ext.injectOptimizerRule(_ => CollapseRepeatedCaseFold)
   }
 }
@@ -51,6 +54,13 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+
+  val boundedEndsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bounded_ends"),
+      new ExpressionInfo(classOf[BoundedEnds].getName, "bounded_ends"),
+      (exprs: Seq[Expression]) =>
+        BoundedEnds(exprs.head, intArg(exprs(1), "k")).toAggregateExpression())
 
   val topKFreqDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -102,16 +102,18 @@ object Dedup {
       banded: DataFrame, metricName: String): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
-    val half = MaxBucket / 2
+    // the custom BoundedEnds TypedImperativeAggregate computes EXACTLY
+    // sort_array(collect_list(id)) capped to its MaxBucket/2 smallest +
+    // largest ids, in O(MaxBucket) buffer memory per bucket with map-side
+    // partial merge — a collect_list here materializes the FULL bucket in
+    // the agg buffer first, which OOMs on a pathological boilerplate bucket
+    // (10^8 identical docs) even though only 50 ids survive the cap
     banded
       .groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("n_total"),
-        sort_array(collect_list($"id")).as("all_ids"))
-      .withColumn("ids",
-        when(size($"all_ids") <= MaxBucket, $"all_ids")
-          .otherwise(concat(slice($"all_ids", 1, half),
-            slice($"all_ids", -half, half))))
-      .drop("all_ids")
+      .agg(graft.functions.BoundedEnds
+        .bounded_ends($"id", MaxBucket / 2).as("be"))
+      .select($"band", $"bucket", $"be.n_total".as("n_total"),
+        $"be.ids".as("ids"))
       .filter(size($"ids") > 1)
       .observe(metricName,
         sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))

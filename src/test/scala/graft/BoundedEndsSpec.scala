@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.BoundedEnds
+
+/** BoundedEnds TypedImperativeAggregate: exact equivalence with
+  * sort_array(collect_list) + both-ends slice, under partial merges.
+  */
+class BoundedEndsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def reference(values: Seq[Long], k: Int): (Long, Seq[Long]) = {
+    val sorted = values.sorted
+    val ids =
+      if (sorted.length <= 2 * k) sorted
+      else sorted.take(k) ++ sorted.takeRight(k)
+    (values.length.toLong, ids)
+  }
+
+  test("exact both-ends semantics across sizes, duplicates, merge orders") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // groups of varied size around the 2k boundary, with duplicates and
+    // extreme ids; 7 partitions force map-side partial buffers + merges
+    val k = 25
+    val rows = (0 until 40).flatMap { g =>
+      val size = Seq(0, 1, 2, 24, 25, 49, 50, 51, 75, 200)(g % 10) + (g / 10)
+      (0 until size).map { _ =>
+        val v = rnd.nextInt(60) match {
+          case x if x < 5 => 10000000L + rnd.nextInt(100) // planted-style ids
+          case _          => rnd.nextInt(1000).toLong
+        }
+        (g.toLong, v)
+      }
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy($"g")
+      .agg(BoundedEnds.bounded_ends($"v", k).as("be"))
+      .select($"g", $"be.n_total", $"be.ids")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2))))
+      .toMap
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byGroup.foreach { case (g, vs) =>
+      val (refN, refIds) = reference(vs, k)
+      val (gotN, gotIds) = got(g)
+      assert(gotN == refN, s"group $g count")
+      assert(gotIds == refIds, s"group $g ids: got $gotIds want $refIds")
+    }
+    // empty groups never appear (no rows), matching collect_list semantics
+    assert(!got.contains(-1L))
+  }
+
+  test("single giant group stays bounded and exact (the OOM case)") {
+    import spark.implicits._
+    val k = 25
+    val n = 200000
+    val df = spark.range(n).select(lit(0L).as("g"),
+      // shuffled distinct values via a bijective-ish mix, plus known extremes
+      (pmod(col("id") * 2654435761L, lit(1000000007L)) + 100).as("v"))
+      .union(Seq((0L, 1L), (0L, 99999999999L)).toDF("g", "v"))
+      .repartition(16)
+    val r = df.groupBy($"g")
+      .agg(BoundedEnds.bounded_ends($"v", k).as("be"))
+      .select($"be.n_total", $"be.ids").collect().head
+    assert(r.getLong(0) == n + 2L)
+    val ids = r.getSeq[Long](1)
+    assert(ids.length == 2 * k)
+    assert(ids.head == 1L && ids.last == 99999999999L)
+    assert(ids == ids.sorted)
+  }
+}
