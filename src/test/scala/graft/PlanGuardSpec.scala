@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties PlanCheck audits manually,
+  * enforced as tests so a refactor can't silently regress them — filter
+  * pushdown reaching the scan, broadcast joins on dim tables, no accidental
+  * cartesian products, and the bounded dedup aggregate actually planning as
+  * an object-hash aggregate (partial merge, no full-bucket sort buffer).
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed to the parquet scan (p13)") {
+    val p = executedPlan("p13_filter_guards")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)")
+      || p.contains("GreaterThan(n_chars,200)"), p.take(800))
+  }
+
+  test("dim joins broadcast; no sort-merge on the dim side (j2)") {
+    val p = executedPlan("j2_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("no cartesian product in any oracle query except the documented broadcast-NL baseline") {
+    // brute-force ANN is an intentional broadcast nested-loop (tiny side
+    // broadcast); everything else must be equi-join shaped
+    val exempt = Set("sim_topk_bruteforce")
+    // keep runtime bounded: guard the join-bearing query family
+    val guarded = Seq("j1_join_lineage", "j2_broadcast_dim",
+      "j_anti_no_orders", "j_semi_sold_high", "dedup_embedding_cos",
+      "dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf",
+      "tq_contamination", "dedup_cluster_pick")
+    guarded.filterNot(exempt).foreach { name =>
+      val p = executedPlan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(800)}")
+    }
+  }
+
+  test("the capped dedup bucket stage plans as ObjectHashAggregate") {
+    val p = executedPlan("dedup_simhash")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    // and the old full-bucket collect_list is gone from the bucket stage
+    assert(!p.contains("collect_list"), "collect_list back in the cap path")
+  }
+
+  test("langid stays a narrow single-scan aggregation (no join, no extra scan)") {
+    val df = SparkEntry.queries("tq_langid")(spark, sf)
+    df.collect()
+    // AQE plan strings embed an "Initial Plan" section that duplicates
+    // every node — count scans in the Final Plan part only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p.take(800))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+}
