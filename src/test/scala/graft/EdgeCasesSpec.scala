@@ -49,6 +49,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdCol agrees with the scalar langId on 400 adversarial random strings") {
+    import spark.implicits._
+    // BMP-only generator (the two forms intentionally agree on BMP text;
+    // astral chars differ by construction: substring counts code points,
+    // charAt counts UTF-16 units): stopwords of all five languages mixed
+    // with latin noise, CJK runs, digits and punctuation, engineered to sit
+    // near the tie-break and CJK-ratio boundaries
+    val rnd = new scala.util.Random(20260816L)
+    val stop = graft.textops.TextOps.stopwords.values.flatten.toVector
+    val noise = Vector("zz", "qqq", "医", "的", "123", "-", ",", "  ", "x")
+    def randString(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        if (rnd.nextBoolean()) stop(rnd.nextInt(stop.size))
+        else noise(rnd.nextInt(noise.size))
+      }.mkString(" ")
+    }
+    val samples = (0L until 400L).map(i => (i, randString()))
+    val colSide = samples.toDF("id", "text")
+      .select(col("id"),
+        graft.textops.TextOps.langIdCol(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.foreach { case (id, t) =>
+      val want = graft.textops.TextOps.langId(t)
+      assert(colSide(id) == want, s"[$t]: col=${colSide(id)} scalar=$want")
+    }
+  }
+
   test("langIdCol edge values: null, empty, CJK shortcut, zero hits") {
     import spark.implicits._
     val rows = Seq(
