@@ -362,6 +362,24 @@ object SparkEntry {
         graft.textops.Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2))
     }),
     // ---- deterministic stratified sampling (downsample majority lang) ----
+    // ---- PII redaction over a corpus with planted emails/IPs/phones ----
+    // (placeholder-count columns use the replace-length trick so both
+    // engines produce the same BIGINTs; fp pins the exact redacted text)
+    "tq_redact_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.org at 192.168.1.77 or +1 555-123-4567")))
+      val aug = docs.filter(col("doc_id") % 7 =!= 0).unionByName(planted)
+      val red = graft.textops.TextOps.redactPii(col("text"))
+      def cnt(tok: String): org.apache.spark.sql.Column =
+        ((length(red) - length(replace(red, lit(tok), lit("")))) /
+          lit(tok.length)).cast("long")
+      aug.select(col("doc_id"), md5(red).as("fp"),
+        cnt("<EMAIL>").as("n_email"), cnt("<IP>").as("n_ip"),
+        cnt("<PHONE>").as("n_phone"))
+    }),
     // ---- Gopher-style repetition quality signals (dup lines, top n-grams) --
     "tq_repetition" -> ((s, dir) => {
       graft.textops.TextOps.repetitionSignalsDf(
@@ -831,6 +849,21 @@ object SparkEntry {
         |)
         |SELECT v AS doc_id, cluster, (v = cluster) AS keep FROM (
         |  SELECT v, min(u) AS cluster FROM reach GROUP BY v)""".stripMargin,
+    "tq_redact_pii" -> {
+      val redSql = graft.textops.TextOps.redactPiiSql("text")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.org at 192.168.1.77 or +1 555-123-4567'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |red AS (SELECT doc_id, $redSql AS r FROM aug)
+         |SELECT doc_id, md5(r) AS fp,
+         |  CAST((length(r) - length(replace(r, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
+         |  CAST((length(r) - length(replace(r, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
+         |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone
+         |FROM red""".stripMargin
+    },
     "tq_repetition" ->
       graft.textops.TextOps.repetitionSignalsSql("documents"),
     "tq_sample_stratified" ->

@@ -381,6 +381,36 @@ object TextOps {
        |LEFT JOIN topg t2 ON t2.doc_id = b.doc_id AND t2.n = 2
        |LEFT JOIN topg t3 ON t3.doc_id = b.doc_id AND t3.n = 3""".stripMargin
 
+  // ---- PII redaction (C4-style cleaning) -----------------------------------
+
+  /** Redaction patterns, deliberately restricted to the Java-regex ∩ RE2
+    * common subset (no backrefs/lookaround) so the Spark column form and
+    * the DuckDB oracle replace identically. Order matters: emails first
+    * (an email's host could otherwise be half-eaten by the IP rule).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{1,3}[- ]\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}\\b" -> "<PHONE>")
+
+  /** Column form: text with emails / IPv4s / phone-shaped numbers replaced
+    * by typed placeholders. Narrow (runs inside the scan stage at any
+    * scale); the standard pre-training cleanup step.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(coalesce(text, lit(""))) {
+      case (acc, (pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+
+  /** The DuckDB mirror, generated from the same [[piiPatterns]] (DuckDB
+    * string literals pass backslashes through verbatim — no re-escaping).
+    */
+  def redactPiiSql(textExpr: String): String =
+    piiPatterns.foldLeft(s"coalesce($textExpr, '')") {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', '$repl', 'g')"
+    }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —

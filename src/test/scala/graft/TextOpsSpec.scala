@@ -228,4 +228,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Multimodal.resizeDims(100, 400, 256) == ((64, 256)))
     assert(Multimodal.resizeDims(100, 100, 256) == ((100, 100)))
   }
+
+  test("redactPii: emails/IPs/phones → typed placeholders, email wins over IP") {
+    import spark.implicits._
+    def red(s: String): String =
+      Seq(s).toDF("t").select(TextOps.redactPii(col("t"))).head.getString(0)
+    assert(red("mail bob.smith+x@sub.example.co.uk now") ==
+      "mail <EMAIL> now")
+    assert(red("host 10.0.255.1 up") == "host <IP> up")
+    assert(red("call +86 555-123-4567 ok") == "call <PHONE> ok")
+    assert(red("call 1 555 123 4567 ok") == "call <PHONE> ok")
+    // email rule must fire before the IP rule: numeric-dotted mail hosts
+    assert(red("a@192.168.1.77.example.com") == "<EMAIL>")
+    // plain prose with loose digits is untouched
+    assert(red("in 1987 some 42 items") == "in 1987 some 42 items")
+    assert(red(null) == "")
+    // the SQL mirror is generated from the SAME pattern table
+    val sql = TextOps.redactPiiSql("text")
+    TextOps.piiPatterns.foreach { case (pat, repl) =>
+      assert(sql.contains(repl))
+      assert(sql.contains(pat.replace("'", "''")))
+    }
+  }
 }
