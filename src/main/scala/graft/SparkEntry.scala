@@ -19,6 +19,11 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100, 0).cast("long")
 
+  /** Demo domain blocklist shared by the tq_url_blocklist query and its
+    * generated-VALUES oracle (single source of truth, like refinedDict).
+    */
+  private val urlBlocklist = Seq("ads.example.com", "spam-site.biz")
+
   /** Flagship: KG triples from the synthetic corpus (driver smoke-checks
     * rows > 0 on sf0.001).
     */
@@ -379,6 +384,22 @@ object SparkEntry {
       aug.select(col("doc_id"), md5(red).as("fp"),
         cnt("<EMAIL>").as("n_email"), cnt("<IP>").as("n_ip"),
         cnt("<PHONE>").as("n_phone"))
+    }),
+    // ---- URL/domain blocklist filter over a corpus with planted links ----
+    // (blocklist is a broadcast-joined DataFrame, not a literal — the
+    // production shape for million-domain RefinedWeb-style lists)
+    "tq_url_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"),
+          lit(" see https://ads.example.com/x?id="),
+          col("doc_id").cast("string"),
+          lit(" and https://en.wikipedia.org/wiki/Page"),
+          lit(" plus https://ads.example.com/y")))
+      val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
+      graft.textops.TextOps.urlBlocklistVerdict(
+        aug, "doc_id", "text", urlBlocklist.toDF("domain"))
     }),
     // ---- Gopher-style repetition quality signals (dup lines, top n-grams) --
     "tq_repetition" -> ((s, dir) => {
@@ -863,6 +884,30 @@ object SparkEntry {
          |  CAST((length(r) - length(replace(r, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
          |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone
          |FROM red""".stripMargin
+    },
+    "tq_url_blocklist" -> {
+      val values = urlBlocklist
+        .map(d => "('" + d.replace("'", "''") + "')").mkString(", ")
+      val pat = graft.textops.TextOps.urlHostPattern.replace("'", "''")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' see https://ads.example.com/x?id='
+         |    || CAST(doc_id AS VARCHAR)
+         |    || ' and https://en.wikipedia.org/wiki/Page'
+         |    || ' plus https://ads.example.com/y'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |hosts AS (SELECT doc_id,
+         |  regexp_extract_all(coalesce(text, ''), '$pat', 1) AS hs FROM aug),
+         |ex AS (SELECT doc_id, unnest(hs) AS host FROM hosts),
+         |bl(domain) AS (VALUES $values),
+         |blk AS (SELECT doc_id, COUNT(*) AS nb
+         |        FROM ex JOIN bl ON ex.host = bl.domain GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_urls,
+         |  CAST(coalesce(b.nb, 0) AS BIGINT) AS n_blocked,
+         |  CASE WHEN coalesce(b.nb, 0) > 0 THEN 'drop' ELSE 'keep' END
+         |    AS verdict
+         |FROM hosts h LEFT JOIN blk b ON h.doc_id = b.doc_id""".stripMargin
     },
     "tq_repetition" ->
       graft.textops.TextOps.repetitionSignalsSql("documents"),

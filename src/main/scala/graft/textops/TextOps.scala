@@ -411,6 +411,48 @@ object TextOps {
         s"regexp_replace($acc, '${pat.replace("'", "''")}', '$repl', 'g')"
     }
 
+  // ---- URL / domain blocklist filtering ------------------------------------
+
+  /** URL host pattern (group 1 = the host), RE2/Java-compatible like
+    * [[bpeTokenPattern]] so the DuckDB oracle extracts identically.
+    */
+  val urlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** All link hosts in a document, in order of appearance (duplicates
+    * kept — a doc linking the same ad domain 40 times is a stronger drop
+    * signal than one). Narrow; runs inside the scan stage.
+    */
+  def urlHosts(text: Column): Column =
+    call_function("regexp_extract_all", coalesce(text, lit("")),
+      lit(urlHostPattern), lit(1))
+
+  /** Per-document URL counts + keep/drop verdict against a domain
+    * blocklist. The blocklist is a DataFrame, not a literal: production
+    * blocklists (RefinedWeb-style) run to millions of domains, so the
+    * membership test is a broadcast LEFT SEMI join on the exploded hosts —
+    * the corpus side stays narrow (explode + one partial-aggregated
+    * groupBy on the already-carried doc id).
+    */
+  def urlBlocklistVerdict(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val hosts = docs.select(col(idCol),
+      urlHosts(col(textCol)).as("hosts"))
+    val blocked = hosts
+      .select(col(idCol), explode(col("hosts")).as("host"))
+      .join(broadcast(blocklist.select(col("domain"))),
+        col("host") === col("domain"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_blocked"))
+    hosts.select(col(idCol), size(col("hosts")).cast("long").as("n_urls"))
+      .join(blocked, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_blocked"))
+      .select(col(idCol), col("n_urls"),
+        col("n_blocked").cast("long").as("n_blocked"),
+        when(col("n_blocked") > 0, "drop").otherwise("keep").as("verdict"))
+  }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —

@@ -21,8 +21,9 @@ object PlanCheck {
     val interesting = Seq("q1_agg", "j1_join_lineage", "j2_broadcast_dim",
       "p13_filter_guards", "a3_argmax_dedup", "u2_except",
       // round-3 reworked paths: single-pass langid (narrow, one scan),
-      // capped multi-table embedding near-dup (one bucket shuffle + verify)
-      "tq_langid", "dedup_embedding_cos")
+      // capped multi-table embedding near-dup (one bucket shuffle + verify),
+      // url blocklist (narrow extract + broadcast semi join on the domain)
+      "tq_langid", "dedup_embedding_cos", "tq_url_blocklist")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan

@@ -250,4 +250,21 @@ class TextOpsSpec extends AnyFunSuite {
       assert(sql.contains(pat.replace("'", "''")))
     }
   }
+
+  test("urlBlocklistVerdict: hosts extracted, dup links counted, keep/drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://ads.example.com/a and http://ads.example.com/b?x=1"),
+      (2L, "read https://en.wikipedia.org/wiki/Page for more"),
+      (3L, "no links at all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bl = Seq("ads.example.com").toDF("domain")
+    val out = TextOps.urlBlocklistVerdict(docs, "doc_id", "text", bl)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "drop"))) // both links counted, not deduped
+    assert(out(2L) == ((1L, 0L, "keep")))
+    assert(out(3L) == ((0L, 0L, "keep")))
+    assert(out(4L) == ((0L, 0L, "keep"))) // null text → no URLs, kept
+  }
 }
