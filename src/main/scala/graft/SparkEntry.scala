@@ -24,6 +24,12 @@ object SparkEntry {
     */
   private val urlBlocklist = Seq("ads.example.com", "spam-site.biz")
 
+  /** Planted duplicate line for the tq_filter_pipeline repetition branch
+    * (single source of truth for the Spark query and its SQL mirror).
+    */
+  private val plantedDupLine = "this line repeats"
+  private val plantedDupCount = 6
+
   /** Flagship: KG triples from the synthetic corpus (driver smoke-checks
     * rows > 0 on sf0.001).
     */
@@ -400,6 +406,20 @@ object SparkEntry {
       val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
       graft.textops.TextOps.urlBlocklistVerdict(
         aug, "doc_id", "text", urlBlocklist.toDF("domain"))
+    }),
+    // ---- composed C4/Gopher-style filter pipeline (one scan, all signals) --
+    // links planted on doc_id%7, duplicate lines on doc_id%11, so every
+    // verdict branch (lang/word_count/quality/repetition/blocklist/keep)
+    // is exercised and oracle-checked
+    "tq_filter_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" visit https://spam-site.biz/offer now")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(("\n" + plantedDupLine) * plantedDupCount)).otherwise(lit(""))))
+      graft.textops.TextOps.qualityFilterPipeline(
+        aug, "doc_id", "text", urlBlocklist)
     }),
     // ---- Gopher-style repetition quality signals (dup lines, top n-grams) --
     "tq_repetition" -> ((s, dir) => {
@@ -908,6 +928,20 @@ object SparkEntry {
          |  CASE WHEN coalesce(b.nb, 0) > 0 THEN 'drop' ELSE 'keep' END
          |    AS verdict
          |FROM hosts h LEFT JOIN blk b ON h.doc_id = b.doc_id""".stripMargin
+    },
+    "tq_filter_pipeline" -> {
+      val augSql =
+        s"""SELECT doc_id, text
+           |  || CASE WHEN doc_id % 7 = 0
+           |       THEN ' visit https://spam-site.biz/offer now' ELSE '' END
+           |  || CASE WHEN doc_id % 11 = 0
+           |       THEN repeat(chr(10) || '$plantedDupLine', $plantedDupCount)
+           |       ELSE '' END AS text
+           |FROM documents""".stripMargin
+      val body = graft.textops.TextOps
+        .qualityFilterPipelineSql("aug", urlBlocklist)
+        .stripPrefix("WITH ")
+      s"WITH aug AS ($augSql),\n$body"
     },
     "tq_repetition" ->
       graft.textops.TextOps.repetitionSignalsSql("documents"),

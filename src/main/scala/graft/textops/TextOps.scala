@@ -453,6 +453,113 @@ object TextOps {
         when(col("n_blocked") > 0, "drop").otherwise("keep").as("verdict"))
   }
 
+  // ---- composed quality-filter pipeline ------------------------------------
+
+  /** C4/Gopher-style composed keep/drop filter — the shape a production
+    * pre-training cleanup run has: ALL per-document signals (language id,
+    * word count, composite quality, repetition, URL blocklist) computed in
+    * ONE pass over the corpus, then a single deterministic verdict with the
+    * first-failing-rule reason. At 100 TB this is the difference between
+    * one scan and five: every signal here is row-local, so the whole
+    * pipeline is a narrow map stage with zero shuffles (the blocklist is a
+    * literal IN-list here — for million-domain lists use
+    * [[urlBlocklistVerdict]]'s broadcast-join form as the n_blocked input).
+    *
+    * Rule order is fixed (lang, word_count, quality, repetition, blocklist)
+    * so the verdict is engine-deterministic; thresholds default to the
+    * Gopher §A1.1 repetition caps.
+    */
+  def qualityFilterPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockedDomains: Seq[String],
+      allowedLangs: Seq[String] = Seq("en"),
+      minWords: Long = 25L,
+      maxWords: Long = 100000L,
+      minQualityX1e6: Long = 660000L,
+      maxDupLineX1e6: Long = 300000L,
+      maxTop2X1e6: Long = 200000L,
+      maxTop3X1e6: Long = 180000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // repetition signals need per-doc hash maps → one typed map, carrying
+    // the text through so the column signals stack on the same scan
+    val withRep = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (d, g2, g3) = repetitionSignals(t)
+        (id, t, d, g2, g3)
+      }
+      .toDF("doc_id", "text", "dup_line_frac_x1e6", "top2_frac_x1e6",
+        "top3_frac_x1e6")
+    val t = coalesce(col("text"), lit(""))
+    val words = filter(split(t, " +", -1), w => length(w) > 0)
+    withRep
+      .withColumn("lang", langIdCol(col("text")))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("quality_x1e6", qualityScoreX1e6(col("text")))
+      .withColumn("n_blocked",
+        size(filter(urlHosts(col("text")),
+          h => h.isInCollection(blockedDomains))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("quality_x1e6"), col("dup_line_frac_x1e6"),
+        col("top2_frac_x1e6"), col("top3_frac_x1e6"), col("n_blocked"),
+        when(!col("lang").isInCollection(allowedLangs), "drop:lang")
+          .when(col("n_words") < minWords || col("n_words") > maxWords,
+            "drop:word_count")
+          .when(col("quality_x1e6") < minQualityX1e6, "drop:quality")
+          .when(col("dup_line_frac_x1e6") > maxDupLineX1e6 ||
+            col("top2_frac_x1e6") > maxTop2X1e6 ||
+            col("top3_frac_x1e6") > maxTop3X1e6, "drop:repetition")
+          .when(col("n_blocked") > 0, "drop:blocklist")
+          .otherwise("keep").as("verdict"))
+  }
+
+  /** The DuckDB mirror of [[qualityFilterPipeline]], composed from the SAME
+    * generated sub-mirrors ([[langIdSql]], [[qualityScoreX1e6Sql]],
+    * [[repetitionSignalsSql]], [[urlHostPattern]]) so no threshold or
+    * pattern can drift between engines. `table` must have (doc_id, text).
+    */
+  def qualityFilterPipelineSql(
+      table: String,
+      blockedDomains: Seq[String],
+      allowedLangs: Seq[String] = Seq("en"),
+      minWords: Long = 25L,
+      maxWords: Long = 100000L,
+      minQualityX1e6: Long = 660000L,
+      maxDupLineX1e6: Long = 300000L,
+      maxTop2X1e6: Long = 200000L,
+      maxTop3X1e6: Long = 180000L): String = {
+    val langList = allowedLangs.map(l => s"'$l'").mkString(", ")
+    val domList = blockedDomains
+      .map(d => "'" + d.replace("'", "''") + "'").mkString(", ")
+    val pat = urlHostPattern.replace("'", "''")
+    s"""WITH rep AS (${repetitionSignalsSql(table)}),
+       |sig AS (SELECT doc_id,
+       |  ${langIdSql("text")} AS lang,
+       |  CAST(len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |    w -> len(w) > 0)) AS BIGINT) AS n_words,
+       |  ${qualityScoreX1e6Sql("text")} AS quality_x1e6,
+       |  CAST(len(list_filter(regexp_extract_all(coalesce(text, ''), '$pat', 1),
+       |    h -> h IN ($domList))) AS BIGINT) AS n_blocked
+       |  FROM $table)
+       |SELECT s.doc_id, s.lang, s.n_words, s.quality_x1e6,
+       |  r.dup_line_frac_x1e6, r.top2_frac_x1e6, r.top3_frac_x1e6,
+       |  s.n_blocked,
+       |  CASE WHEN s.lang NOT IN ($langList) THEN 'drop:lang'
+       |       WHEN s.n_words < $minWords OR s.n_words > $maxWords
+       |         THEN 'drop:word_count'
+       |       WHEN s.quality_x1e6 < $minQualityX1e6 THEN 'drop:quality'
+       |       WHEN r.dup_line_frac_x1e6 > $maxDupLineX1e6
+       |         OR r.top2_frac_x1e6 > $maxTop2X1e6
+       |         OR r.top3_frac_x1e6 > $maxTop3X1e6 THEN 'drop:repetition'
+       |       WHEN s.n_blocked > 0 THEN 'drop:blocklist'
+       |       ELSE 'keep' END AS verdict
+       |FROM sig s JOIN rep r ON s.doc_id = r.doc_id""".stripMargin
+  }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —

@@ -251,6 +251,28 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFilterPipeline: one verdict per doc, fixed rule precedence") {
+    import spark.implicits._
+    val en = "The quick brown fox jumps over the lazy dog near the river " +
+      "bank and keeps running through the quiet green fields every single " +
+      "morning before the sun rises over the distant hills again today"
+    val docs = Seq(
+      (1L, en),                                        // keep
+      (2L, "el perro corre por el parque " * 10),      // drop:lang
+      (3L, "short text only"),                         // drop (few words)
+      (4L, en + ("\nrepeat me" * 40)),                 // drop:repetition
+      (5L, en + " see https://spam-site.biz/x now ok") // drop:blocklist
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilterPipeline(
+      docs, "doc_id", "text", Seq("spam-site.biz"))
+      .collect().map(r => r.getLong(0) -> r.getString(8)).toMap
+    assert(out(1L) == "keep")
+    assert(out(2L) == "drop:lang")
+    assert(out(3L).startsWith("drop:")) // word_count or lang, both valid drops
+    assert(out(4L) == "drop:repetition")
+    assert(out(5L) == "drop:blocklist")
+  }
+
   test("urlBlocklistVerdict: hosts extracted, dup links counted, keep/drop") {
     import spark.implicits._
     val docs = Seq(
