@@ -23,7 +23,10 @@ object PlanCheck {
       // round-3 reworked paths: single-pass langid (narrow, one scan),
       // capped multi-table embedding near-dup (one bucket shuffle + verify),
       // url blocklist (narrow extract + broadcast semi join on the domain)
-      "tq_langid", "dedup_embedding_cos", "tq_url_blocklist")
+      "tq_langid", "dedup_embedding_cos", "tq_url_blocklist",
+      // composed filter: all signals in one narrow pass (no exchange
+      // before the verdict projection)
+      "tq_filter_pipeline")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
