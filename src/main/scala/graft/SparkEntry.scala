@@ -30,6 +30,13 @@ object SparkEntry {
   private val plantedDupLine = "this line repeats"
   private val plantedDupCount = 6
 
+  /** Planted cross-document boilerplate for the dedup_substring oracle
+    * (15 words — with k=8 its interior windows duplicate across every
+    * planted doc, so all but the first occurrence get removed).
+    */
+  private val plantedBoilerplate = "subscribe to our newsletter for the " +
+    "latest updates and follow us on social media today"
+
   /** Flagship: KG triples from the synthetic corpus (driver smoke-checks
     * rows > 0 on sf0.001).
     */
@@ -206,6 +213,18 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n"))
+    }),
+    // ---- ExactSubstr dedup (Lee et al. 2022): remove duplicated k-word
+    // spans, keep-first; boilerplate planted on doc_id%6 so removal is
+    // exercised corpus-wide and re-derived exactly in DuckDB
+    "dedup_substring" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 6 === 0, lit(" " + plantedBoilerplate))
+            .otherwise(lit(""))).as("text"))
+      graft.textops.Dedup.exactSubstringDedup(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("kept_text")).as("kept_md5"))
     }),
     // ---- training-data ops: token counting ----
     "tq_token_count" -> ((s, dir) => {
@@ -680,6 +699,48 @@ object SparkEntry {
         |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY md5(text)",
+    "dedup_substring" -> {
+      val k = 8
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '')
+         |    || CASE WHEN doc_id % 6 = 0 THEN ' $plantedBoilerplate'
+         |       ELSE '' END AS text
+         |  FROM documents),
+         |wrds AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+         |  FROM base),
+         |sh AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(w) - $k + 1, 0)),
+         |      i -> {'start': i, 'gram': array_to_string(w[i:i+${k - 1}], ' ')})) AS s
+         |  FROM wrds),
+         |shf AS (SELECT doc_id, s.start AS start, s.gram AS gram FROM sh),
+         |ranked AS (SELECT doc_id, start,
+         |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn,
+         |    count(*) OVER (PARTITION BY gram) AS c
+         |  FROM shf),
+         |dsp AS (SELECT doc_id, start FROM ranked WHERE c > 1 AND rn > 1),
+         |cov AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(start, start + $k - 1)) AS idx
+         |  FROM dsp),
+         |pw AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(w)),
+         |      i -> {'idx': i, 'word': w[i]})) AS p
+         |  FROM wrds),
+         |pwf AS (SELECT doc_id, p.idx AS idx, p.word AS word FROM pw),
+         |kept AS (SELECT pwf.doc_id AS doc_id, pwf.idx AS idx, pwf.word AS word
+         |  FROM pwf
+         |  LEFT JOIN cov ON cov.doc_id = pwf.doc_id AND cov.idx = pwf.idx
+         |  WHERE cov.doc_id IS NULL),
+         |ka AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS txt
+         |       FROM kept GROUP BY doc_id),
+         |rc AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id)
+         |SELECT w.doc_id AS doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+         |  CAST(coalesce(rc.nrem, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(ka.txt, '')) AS kept_md5
+         |FROM wrds w
+         |LEFT JOIN rc ON rc.doc_id = w.doc_id
+         |LEFT JOIN ka ON ka.doc_id = w.doc_id""".stripMargin
+    },
     "tq_quality_cols" ->
       """SELECT doc_id,
         | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,

@@ -335,4 +335,72 @@ object Dedup {
       .filter($"hamming" <= maxDist)
       .select($"id_a", $"id_b", $"hamming")
   }
+
+  /** Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — the ExactSubstr method): remove
+    * every k-word span whose text occurs elsewhere in the corpus, keeping
+    * the globally-first occurrence ((doc_id, start)-minimal per gram).
+    * Words covered by ANY removed duplicate window are dropped; the kept
+    * text is the surviving words joined by single spaces (whitespace is
+    * normalized — the standard behavior of word-level ExactSubstr).
+    *
+    * Scale shape (the suffix-array of the paper is replaced by the
+    * shuffle-native equivalent): shingling is narrow; the duplicate-gram
+    * table is ONE groupBy(gram) with map-side partial aggregation
+    * (count + min-occurrence — deliberately NOT a window over gram, which
+    * could not partial-aggregate); unique grams (the overwhelming majority
+    * at any scale) die in the partial agg. Coverage and reconstruction are
+    * keyed by (doc_id, idx) — partitioned by doc, per-doc memory bounded
+    * by the document's own word count. Swap the gram string for a 128-bit
+    * fingerprint to cut shuffle bytes at 100 TB; kept as exact text here
+    * so the DuckDB oracle re-derives removal byte-for-byte.
+    *
+    * Returns (doc_id, n_words, n_removed, kept_text).
+    */
+  def exactSubstringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " +", -1),
+        w => length(w) > 0).as("w"))
+    val sh = base.select(col("doc_id"),
+      explode(when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("start"),
+            array_join(slice(col("w"), i, lit(k)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<start:int,gram:string>>")))
+        .as("s"))
+      .select(col("doc_id"), col("s.start").as("start"),
+        col("s.gram").as("gram"))
+    val firsts = sh.groupBy("gram").agg(
+      count(lit(1)).as("c"),
+      min(struct(col("doc_id"), col("start"))).as("first"))
+      .filter(col("c") > 1)
+    val dsp = sh.join(firsts, "gram")
+      .filter(struct(col("doc_id"), col("start")) =!= col("first"))
+      .select("doc_id", "start")
+    val cov = dsp.select(col("doc_id"),
+      explode(sequence(col("start"), col("start") + (k - 1))).as("idx"))
+      .distinct()
+    val pw = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("idx"), col("word"))
+    val kept = pw.join(cov, Seq("doc_id", "idx"), "left_anti")
+    val ka = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("word")))),
+        s => s.getField("word")), " ").as("kept_text"))
+    val rc = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(rc, Seq("doc_id"), "left")
+      .join(ka, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_removed"))
+      .select(col("doc_id"), col("n_words"),
+        col("n_removed").cast("long").as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

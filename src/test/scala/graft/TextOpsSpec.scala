@@ -251,6 +251,29 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactSubstringDedup: keep-first, overlap coverage, short docs") {
+    import spark.implicits._
+    val dup = "a1 a2 a3 a4 a5 a6 a7 a8" // exactly one k=8 window
+    val docs = Seq(
+      (1L, s"intro words here $dup tail one"),
+      (2L, s"other prefix $dup different suffix"), // dup removed (not first)
+      (3L, s"$dup x $dup"),   // two occurrences in one doc, both non-first
+      (4L, "too short to shingle"),
+      (5L, "unique eight word sentence nothing shared at all")
+    ).toDF("doc_id", "text")
+    val res = Dedup.exactSubstringDedup(docs, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(1L) == ((13L, 0L, s"intro words here $dup tail one")))
+    assert(res(2L) == ((12L, 8L, "other prefix different suffix")))
+    // doc 3: both windows duplicate doc 1's → all 16 dup words removed
+    assert(res(3L) == ((17L, 16L, "x")))
+    assert(res(4L) == ((4L, 0L, "too short to shingle")))
+    assert(res(5L) == ((8L, 0L,
+      "unique eight word sentence nothing shared at all")))
+  }
+
   test("qualityFilterPipeline: one verdict per doc, fixed rule precedence") {
     import spark.implicits._
     val en = "The quick brown fox jumps over the lazy dog near the river " +
