@@ -355,6 +355,11 @@ object Dedup {
     * fingerprint to cut shuffle bytes at 100 TB; kept as exact text here
     * so the DuckDB oracle re-derives removal byte-for-byte.
     *
+    * The (doc_id, words) projection feeds three consumers (shingles,
+    * positions, final counts); at 100 TB cache/checkpoint that projection
+    * before calling (left to the caller — a library function should not
+    * pin executor memory behind the caller's back).
+    *
     * Returns (doc_id, n_words, n_removed, kept_text).
     */
   def exactSubstringDedup(

@@ -26,7 +26,9 @@ object PlanCheck {
       "tq_langid", "dedup_embedding_cos", "tq_url_blocklist",
       // composed filter: all signals in one narrow pass (no exchange
       // before the verdict projection)
-      "tq_filter_pipeline")
+      "tq_filter_pipeline",
+      // ExactSubstr dedup: gram groupBy must partial-aggregate (no window)
+      "dedup_substring")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
