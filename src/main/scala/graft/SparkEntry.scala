@@ -440,6 +440,17 @@ object SparkEntry {
       graft.textops.TextOps.qualityFilterPipeline(
         aug, "doc_id", "text", urlBlocklist)
     }),
+    // ---- per-domain link stats over the planted-link corpus ----
+    "tq_domain_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.withColumn("text", concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" see https://ads.example.com/x and" +
+            " https://en.wikipedia.org/wiki/Page")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit(" via https://news.example.org/story")).otherwise(lit(""))))
+      graft.textops.TextOps.domainStats(aug, "doc_id", "text")
+    }),
     // ---- Gopher-style repetition quality signals (dup lines, top n-grams) --
     "tq_repetition" -> ((s, dir) => {
       graft.textops.TextOps.repetitionSignalsDf(
@@ -1001,6 +1012,19 @@ object SparkEntry {
            |FROM documents""".stripMargin
       val body = graft.textops.TextOps
         .qualityFilterPipelineSql("aug", urlBlocklist)
+        .stripPrefix("WITH ")
+      s"WITH aug AS ($augSql),\n$body"
+    },
+    "tq_domain_stats" -> {
+      val augSql =
+        s"""SELECT doc_id, coalesce(text, '')
+           |  || CASE WHEN doc_id % 5 = 0
+           |       THEN ' see https://ads.example.com/x and https://en.wikipedia.org/wiki/Page'
+           |       ELSE '' END
+           |  || CASE WHEN doc_id % 3 = 0
+           |       THEN ' via https://news.example.org/story' ELSE '' END AS text
+           |FROM documents""".stripMargin
+      val body = graft.textops.TextOps.domainStatsSql("aug")
         .stripPrefix("WITH ")
       s"WITH aug AS ($augSql),\n$body"
     },

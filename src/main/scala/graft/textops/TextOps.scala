@@ -453,6 +453,41 @@ object TextOps {
         when(col("n_blocked") > 0, "drop").otherwise("keep").as("verdict"))
   }
 
+  /** Per-domain link statistics — the RefinedWeb-style "domain ranking"
+    * building block: for every linked host, how many links/documents point
+    * at it and how much quality mass those documents carry. One narrow
+    * host-explode + ONE partial-aggregated groupBy(host) — the host key
+    * space is Zipfian, but count/sum combine map-side so hot domains cost
+    * one merged row per partition, not a skewed shuffle of raw links.
+    * sum_quality is the integer-scaled quality ([[qualityScoreX1e6]]) summed
+    * link-weighted, so rank = sum_quality/n_links needs no float transport.
+    */
+  def domainStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"),
+        qualityScoreX1e6(col(textCol)).as("q"),
+        explode(urlHosts(col(textCol))).as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("q")).as("sum_quality_x1e6"))
+  }
+
+  /** The DuckDB mirror of [[domainStats]] over a (doc_id, text) table. */
+  def domainStatsSql(table: String): String =
+    s"""WITH ex AS (SELECT doc_id,
+       |    ${qualityScoreX1e6Sql("text")} AS q,
+       |    unnest(regexp_extract_all(coalesce(text, ''),
+       |      '${urlHostPattern.replace("'", "''")}', 1)) AS host
+       |  FROM $table)
+       |SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(q) AS BIGINT) AS sum_quality_x1e6
+       |FROM ex GROUP BY host""".stripMargin
+
   // ---- composed quality-filter pipeline ------------------------------------
 
   /** C4/Gopher-style composed keep/drop filter — the shape a production

@@ -251,6 +251,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domainStats: link-weighted counts, distinct docs, quality mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a https://x.com/a b https://x.com/b c https://y.org/only"),
+      (2L, "d https://x.com/c end"),
+      (3L, "no links here at all")).toDF("doc_id", "text")
+    val out = TextOps.domainStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x.com")._1 == 3L) // three links
+    assert(out("x.com")._2 == 2L) // from two docs
+    assert(out("y.org")._1 == 1L)
+    assert(!out.contains("")) // linkless docs contribute no host rows
+    // quality mass: doc 1 counted once per link (link-weighted by design)
+    val q1 = TextOps.qualityScoreX1e6(org.apache.spark.sql.functions.lit(
+      "a https://x.com/a b https://x.com/b c https://y.org/only"))
+    val q1v = docs.sparkSession.range(1).select(q1).head.getLong(0)
+    assert(out("y.org")._3 == q1v)
+  }
+
   test("exactSubstringDedup: keep-first, overlap coverage, short docs") {
     import spark.implicits._
     val dup = "a1 a2 a3 a4 a5 a6 a7 a8" // exactly one k=8 window
