@@ -440,6 +440,19 @@ object SparkEntry {
       graft.textops.TextOps.qualityFilterPipeline(
         aug, "doc_id", "text", urlBlocklist)
     }),
+    // ---- CCNet-style boilerplate line removal (planted footers) ----
+    "tq_boilerplate_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nall rights reserved example corp")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit("\ncookie policy applies")).otherwise(lit(""))).as("text"))
+      graft.textops.TextOps.boilerplateLineRemoval(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("kept_text")).as("kept_md5"))
+    }),
     // ---- per-domain link stats over the planted-link corpus ----
     "tq_domain_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1012,6 +1025,19 @@ object SparkEntry {
            |FROM documents""".stripMargin
       val body = graft.textops.TextOps
         .qualityFilterPipelineSql("aug", urlBlocklist)
+        .stripPrefix("WITH ")
+      s"WITH aug AS ($augSql),\n$body"
+    },
+    "tq_boilerplate_lines" -> {
+      val augSql =
+        s"""SELECT doc_id, coalesce(text, '')
+           |  || CASE WHEN doc_id % 4 = 0
+           |       THEN chr(10) || 'all rights reserved example corp'
+           |       ELSE '' END
+           |  || CASE WHEN doc_id % 9 = 0
+           |       THEN chr(10) || 'cookie policy applies' ELSE '' END AS text
+           |FROM documents""".stripMargin
+      val body = graft.textops.TextOps.boilerplateLineRemovalSql("aug")
         .stripPrefix("WITH ")
       s"WITH aug AS ($augSql),\n$body"
     },

@@ -488,6 +488,80 @@ object TextOps {
        |  CAST(sum(q) AS BIGINT) AS sum_quality_x1e6
        |FROM ex GROUP BY host""".stripMargin
 
+  /** Boilerplate line removal (the CCNet/RefinedWeb line-level cleanup:
+    * Wenzek et al., "CCNet", 2020 §3 deduplicates at paragraph/line level):
+    * a non-blank line occurring in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, copyright footers) and is
+    * removed from EVERY document — unlike [[graft.textops.Dedup
+    * .exactSubstringDedup]]'s keep-first, boilerplate keeps no copy.
+    * Kept lines are rejoined with newlines in original order.
+    *
+    * Scale shape: line explode is narrow; the hot-line table is one
+    * groupBy(line) with a two-phase distinct-doc count (partial
+    * aggregation per partition); the membership join back is the only
+    * wide join and its build side (lines above minDocs) is tiny relative
+    * to the corpus, broadcastable at any realistic threshold.
+    *
+    * Returns (doc_id, n_lines, n_removed, kept_text).
+    */
+  def boilerplateLineRemoval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(coalesce(col(textCol), lit("")), "\n", -1).as("ls"))
+    val pl = base.select(col("doc_id"),
+      posexplode(col("ls")).as(Seq("p", "line")))
+    val hot = pl.filter(length(trim(col("line"))) > 0)
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    val marked = pl.join(hot, Seq("line"), "left")
+    val ka = marked.filter(col("is_boiler").isNull)
+      .groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("line")))),
+          s => s.getField("line")), "\n").as("kept_text"))
+    val rc = marked.filter(col("is_boiler").isNotNull)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    base.select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rc, Seq("doc_id"), "left")
+      .join(ka, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_removed"))
+      .select(col("doc_id"), col("n_lines"),
+        col("n_removed").cast("long").as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** The DuckDB mirror of [[boilerplateLineRemoval]] over a
+    * (doc_id, text) table, kept text reported as md5.
+    */
+  def boilerplateLineRemovalSql(table: String, minDocs: Int = 3): String =
+    s"""WITH ls AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), chr(10)) AS l FROM $table),
+       |pl AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(l)),
+       |      i -> {'p': i, 'line': l[i]})) AS s
+       |  FROM ls),
+       |plf AS (SELECT doc_id, s.p AS p, s.line AS line FROM pl),
+       |hot AS (SELECT line FROM plf WHERE len(trim(line)) > 0
+       |        GROUP BY line HAVING count(DISTINCT doc_id) >= $minDocs),
+       |kept AS (SELECT plf.doc_id AS doc_id, plf.p AS p, plf.line AS line
+       |  FROM plf LEFT JOIN hot ON hot.line = plf.line
+       |  WHERE hot.line IS NULL),
+       |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS txt
+       |       FROM kept GROUP BY doc_id),
+       |rc AS (SELECT plf.doc_id AS doc_id, count(*) AS nrem
+       |       FROM plf JOIN hot ON hot.line = plf.line GROUP BY plf.doc_id)
+       |SELECT l.doc_id AS doc_id, CAST(len(l.l) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(rc.nrem, 0) AS BIGINT) AS n_removed,
+       |  md5(coalesce(ka.txt, '')) AS kept_md5
+       |FROM ls l
+       |LEFT JOIN rc ON rc.doc_id = l.doc_id
+       |LEFT JOIN ka ON ka.doc_id = l.doc_id""".stripMargin
+
   // ---- composed quality-filter pipeline ------------------------------------
 
   /** C4/Gopher-style composed keep/drop filter — the shape a production

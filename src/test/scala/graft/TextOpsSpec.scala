@@ -251,6 +251,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplateLineRemoval: hot lines dropped everywhere, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nfooter line\nbody a"),
+      (2L, "unique two\nfooter line"),
+      (3L, "footer line\nunique three"),
+      (4L, "solo doc\n\nwith blank"), // blank lines never count as hot
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.boilerplateLineRemoval(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "unique one\nbody a"))) // no copy kept
+    assert(out(2L) == ((2L, 1L, "unique two")))
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((3L, 0L, "solo doc\n\nwith blank")))
+    assert(out(5L) == ((1L, 0L, ""))) // empty text = one blank line, kept
+  }
+
   test("domainStats: link-weighted counts, distinct docs, quality mass") {
     import spark.implicits._
     val docs = Seq(
