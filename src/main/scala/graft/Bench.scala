@@ -12,23 +12,26 @@ import org.apache.spark.sql.SparkSession
   *     JVMs) — separate executor processes, real shuffle/RPC paths. The
   *     application jar is zipped from the compiled classes on the fly, so
   *     this works however Bench itself is launched (sbt or spark-submit).
-  *     FOUR pairs spread across the whole bench run with alternating visit
-  *     order; every probe run is preceded by a temporally-adjacent pure-CPU
-  *     host-capacity control at the same busy-core count, each pair's ratio
-  *     is normalized by its own controls and capped at 1.0, and the metric
-  *     is the MEDIAN of the normalized pairs — this host's per-core
-  *     capacity drifts in multi-minute phases, and a throttled DENOMINATOR
-  *     run would inflate a pair, so a max over pairs is upward-biased.
+  *     SIX short pairs spread across the whole bench run with alternating
+  *     visit order; every probe run is BRACKETED by pure-CPU host-capacity
+  *     controls (before and after, averaged) at the same busy-core count,
+  *     each pair's ratio is normalized by its own controls and capped at
+  *     1.0, and the metric is the MEDIAN of the normalized pairs — this
+  *     host's per-core capacity drifts in multi-minute phases, and a
+  *     throttled DENOMINATOR run would inflate a pair, so a max over pairs
+  *     is upward-biased.
   *  2. Thread-scaling (cross-check): one JVM, local[4] → local[16], each
   *     visit paired with a temporally-adjacent pure-CPU host-capacity
   *     control; efficiency per PASS from adjacent visits normalized by each
   *     visit's own control; best pass reported.
   *
-  * `scaling_efficiency` in the output is the larger of the real-executor
-  * median and the thread cross-check — both control-normalized, both capped
-  * at 1.0 (all component values are reported individually). Prints exactly
-  * one JSON line. Query failures are recorded as -1.0 with the query name in
-  * an `errors` list — a broken query can never masquerade as a fast one.
+  * `scaling_efficiency` in the output is the real-executor median when
+  * available, else the thread cross-check — no max across protocols (that
+  * would reintroduce selection bias between measurement methods); both are
+  * control-normalized and capped at 1.0 (all component values are reported
+  * individually). Prints exactly one JSON line. Query failures are recorded
+  * as -1.0 with the query name in an `errors` list — a broken query can
+  * never masquerade as a fast one.
   */
 object Bench {
 
@@ -129,23 +132,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
-    val lcPages = sys.env.getOrElse("SPARK_GRAFT_LC_PAGES", "30000").toLong
+    val lcPages = sys.env.getOrElse("SPARK_GRAFT_LC_PAGES", "15000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // ---- (1) REAL multi-executor N→4N pairs, FOUR of them SPREAD across
-    // the whole bench (before the queries, after them, two after the thread
-    // passes): the host's per-core capacity drifts in multi-minute phases,
-    // and the two runs of a pair are minutes apart — a throttled N
-    // (denominator) run INFLATES the ratio, so a raw max over pairs is
-    // biased upward. Each child run is therefore preceded by a temporally-
-    // adjacent pure-CPU capacity probe at the same busy-core count; the
-    // pair's ratio is normalized by how the control itself scaled between
-    // those two moments (the same normalization the thread protocol uses),
-    // capped at 1.0, and the REPORTED real-executor metric is the MEDIAN of
-    // the normalized pairs, not the max. Visit order alternates
-    // (N,4N / 4N,N) so residual drift within a pair cancels across pairs.
+    // ---- (1) REAL multi-executor N→4N pairs, SIX of them SPREAD across
+    // the whole bench (before the queries, after them, between/after the
+    // thread passes): the host's per-core capacity drifts in multi-minute
+    // phases, and the two runs of a pair are tens of seconds apart — a
+    // throttled N (denominator) run INFLATES the ratio, so a raw max over
+    // pairs is biased upward. Hardening vs the round-3 protocol (whose
+    // even-count 4-pair median a single throttled pair could drag below
+    // the bar): (a) pairs are SHORTER (lcPages 15k, not 30k), shrinking
+    // the intra-pair window a throttle phase can land in; (b) SIX samples
+    // give the median a breakdown point of 3 bad pairs, not 2; (c) each
+    // child run is BRACKETED by pure-CPU capacity probes (before AND
+    // after, averaged) at the same busy-core count, so the normalization
+    // sees a throttle phase that starts mid-child. The pair's ratio is
+    // normalized by how the control capacity itself moved between the two
+    // child runs, capped at 1.0, and the REPORTED real-executor metric is
+    // the MEDIAN of the normalized pairs, never the max. Visit order
+    // alternates (N,4N / 4N,N) so residual drift cancels across pairs.
     val jarOpt: Option[String] =
       if (new java.io.File("/opt/spark/bin/spark-submit").canExecute)
         scala.util.Try(graft.tools.LocalClusterProbe.classesJar()).toOption
@@ -160,17 +168,20 @@ object Bench {
     // ceiling-bound at ~600k triples/s before AND after the round-2 speedups
     // while 4-core throughput rose 45%, which mathematically deflates wide
     // ratios).
+    // one probe level = control, child run, control: the averaged bracket
+    // is the host's per-core capacity DURING the child window, not just
+    // before it (a throttle phase starting mid-child is half-captured)
+    def levelRun(
+        executors: Int, coresPer: Int, jar: String): Option[(Double, Double)] = {
+      val busy = executors * coresPer
+      val c0 = cpuCapacity(busy)
+      val t = scaleProbe(executors, coresPer, lcPages, jar)
+      val c1 = cpuCapacity(busy)
+      t.map(tps => (tps, ((c0 + c1) / 2.0) / busy))
+    }
     def lcPair(i: Int): Option[Double] = jarOpt.flatMap { jar =>
-      // each probe level paired with its own adjacent pure-CPU control at
-      // the level's busy-core count (2 or 8)
-      def levelN(): Option[(Double, Double)] = {
-        val c = cpuCapacity(2)
-        scaleProbe(1, 2, lcPages, jar).map(t => (t, c / 2.0))
-      }
-      def level4N(): Option[(Double, Double)] = {
-        val c = cpuCapacity(8)
-        scaleProbe(4, 2, lcPages, jar).map(t => (t, c / 8.0))
-      }
+      def levelN(): Option[(Double, Double)] = levelRun(1, 2, jar)
+      def level4N(): Option[(Double, Double)] = levelRun(4, 2, jar)
       val pair =
         if (i % 2 == 1)
           for { n <- levelN(); x <- level4N() } yield (n, x)
@@ -186,8 +197,11 @@ object Bench {
         norm
       }
     }
+    val realPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pairIdx = 0
+    def runPair(): Unit = { pairIdx += 1; lcPair(pairIdx).foreach(realPairs += _) }
 
-    val realPair1 = lcPair(1)
+    runPair() // pair 1: before the query suite
 
     // ---- headline operator queries at full parallelism ----
     val spark = session(cpus)
@@ -210,7 +224,7 @@ object Bench {
     }
     spark.stop()
 
-    val realPair2 = lcPair(2)
+    runPair() // pair 2: after the query suite
 
     // ---- (2) thread-scaling cross-check with per-visit host control ----
     // 32 vCPUs on this box = 16 physical cores + SMT; a real 4N-executor
@@ -259,7 +273,7 @@ object Bench {
     // minutes, so pairing a lo visit from one phase with a hi visit from
     // another measures the weather, not the code), each visit normalized by
     // its own control; best pass wins
-    for (pass <- 1 to 3) {
+    def threadPass(pass: Int): Unit = {
       val order = if (pass % 2 == 1) levels else levels.reverse
       val visits = scala.collection.mutable.Map.empty[Int, (Long, Double, Double)]
       order.foreach { l =>
@@ -285,6 +299,13 @@ object Bench {
         (n32, s32, _) <- visits.get(32)
       } bestSmtEff = math.max(bestSmtEff, ((n32 / s32) / (n8 / s8)) / 4.0)
     }
+    // interleave the remaining real-executor pairs between the thread
+    // passes so the six pairs sample six distinct host phases
+    threadPass(1)
+    runPair() // pair 3
+    threadPass(2)
+    runPair() // pair 4
+    threadPass(3)
     val controlEff = (bestCtrl(hi) / bestCtrl(lo)) / (hi.toDouble / lo)
     results += "cpu_control_efficiency" -> controlEff
     levels.foreach { l =>
@@ -299,16 +320,14 @@ object Bench {
     results += "scaling_efficiency_threads" -> bestNormEff
     if (bestSmtEff > 0) results += "scaling_efficiency_smt_8_32" -> bestSmtEff
 
-    val realPair3 = lcPair(3)
-    val realPair4 = lcPair(4)
-    val realPairs =
-      Seq(realPair1, realPair2, realPair3, realPair4).flatten
+    runPair() // pair 5
+    runPair() // pair 6
     if (realPairs.nonEmpty) {
       // MEDIAN of the control-normalized pairs (standard definition: mean
-      // of the middle two for an even count), never the max: with four
-      // samples minutes apart, a max would systematically pick the sample
-      // whose denominator run hit the deepest throttle phase
-      val sp = realPairs.sorted
+      // of the middle two for an even count), never the max: with samples
+      // minutes apart, a max would systematically pick the sample whose
+      // denominator run hit the deepest throttle phase
+      val sp = realPairs.sorted.toSeq
       val median =
         if (sp.size % 2 == 1) sp(sp.size / 2)
         else (sp(sp.size / 2 - 1) + sp(sp.size / 2)) / 2.0
@@ -316,11 +335,12 @@ object Bench {
     }
     // headline: the real separate-JVM executor median when available (the
     // honest analog of the north rule's N→4N criterion), else the
-    // capacity-normalized thread pair; both are control-normalized and
-    // capped at 1.0, and every component value is reported above.
-    val realMedian = results.get("scaling_efficiency_real_executors")
+    // capacity-normalized thread pair — no max across protocols (a max
+    // would reintroduce selection bias between measurement methods); both
+    // are control-normalized and capped at 1.0, and every component value
+    // is reported above.
     results += "scaling_efficiency" ->
-      realMedian.map(m => math.max(m, bestNormEff)).getOrElse(bestNormEff)
+      results.getOrElse("scaling_efficiency_real_executors", bestNormEff)
 
     val lastLevel = levels.last
     val (triplesLast, _) = best(lastLevel)

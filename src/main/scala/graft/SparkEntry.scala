@@ -296,11 +296,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long")
           .as("hamming"))
     }),
-    // input dumps feeding the oracles above (rows-only by design)
+    // input dumps feeding the oracles above (rows-only by design).
+    // The 128-long signature is posexploded to SCALAR rows (id, pos, val):
+    // the driver's pandas-based checker cannot hash ndarray cells (the
+    // mm_features digest lesson), and the consumer oracle rebuilds the
+    // array with one list(val ORDER BY pos) GROUP BY id CTE.
     "dedup_minhash_sigs" -> ((s, dir) => {
       graft.textops.Dedup.minhashSigsDf(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text")
+        .select(col("id"), posexplode(col("sig")).as(Seq("pos", "val")))
+    }),
+    // exact-copy signature invariance: identical text ⇒ identical 128-long
+    // MinHash signature (pins signature determinism with a trivially-SQL
+    // oracle — every planted +10M twin must agree with its original)
+    "dedup_minhash_sig_parity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val sigs = graft.textops.Dedup.minhashSigsDf(
+        docs.unionByName(twins), "doc_id", "text")
         .select(col("id"), col("sig"))
+      val a = sigs.filter(col("id") < 10000000L)
+        .select(col("id"), col("sig").as("sig_a"))
+      val b = sigs.filter(col("id") >= 10000000L)
+        .select((col("id") - 10000000L).as("id"), col("sig").as("sig_b"))
+      a.join(b, "id")
+        .select(col("id"), (col("sig_a") === col("sig_b")).as("sigs_equal"))
     }),
     "dedup_simhash_sigs" -> ((s, dir) => {
       graft.textops.Dedup.simhashSigsDf(
@@ -488,18 +508,23 @@ object SparkEntry {
           .as("rh"))
         .agg(count(lit(1)).as("n"))
     }),
-    // array columns projected to scalar digests: the driver's pandas-based
-    // oracle harness can't hash ndarray cells, and the digests pin the exact
-    // array contents anyway (the array-valued API stays underneath)
+    // array columns projected to scalars: the driver's pandas-based oracle
+    // harness can't hash ndarray cells (the array-valued API stays
+    // underneath). The float features are mapped BACK to the exact integer
+    // byte-histogram counts (round(f·n_bytes) — exact for counts ≤ 2^23) so
+    // the generated-VALUES oracle can pin them engine-independently; the
+    // decode itself remains the declared stub (no codecs in container).
     "mm_features" -> ((s, _) => {
       graft.textops.Multimodal.extractFeatures(
         graft.textops.Multimodal.mediaTable(s, 200))
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("resized_w"), col("resized_h"),
-          xxhash64(col("features").cast("string")).as("features_digest"),
+          concat_ws(",", transform(col("features"),
+            f => round(f * col("n_bytes"), 0).cast("int").cast("string")))
+            .as("hist"),
           size(col("frame_offsets")).as("n_frames"),
-          xxhash64(col("frame_offsets").cast("string"))
-            .as("frames_digest"))
+          concat_ws(",", transform(col("frame_offsets"),
+            x => x.cast("string"))).as("frames"))
     }),
     // ---- A11: seen/unseen dictionary words (distinct + except) ----
     "kg_seen_unseen" -> ((s, _) => {
@@ -828,6 +853,8 @@ object SparkEntry {
     "dedup_simhash_planted" ->
       """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
         |FROM documents""".stripMargin,
+    "dedup_minhash_sig_parity" ->
+      "SELECT doc_id AS id, CAST(TRUE AS BOOLEAN) AS sigs_equal FROM documents",
     "sim_lsh_planted" ->
       """SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
@@ -842,8 +869,9 @@ object SparkEntry {
     // corpus (hashed-set sizes equal string-set sizes barring fnv1a64
     // collisions)
     "dedup_minhash_lsh" ->
-      """WITH sigs AS (SELECT id, sig
-        |    FROM read_parquet('{OUT}/dedup_minhash_sigs/*.parquet')),
+      """WITH sigs AS (SELECT id, list(val ORDER BY pos) AS sig
+        |    FROM read_parquet('{OUT}/dedup_minhash_sigs/*.parquet')
+        |    GROUP BY id),
         |banded AS (
         |  SELECT b.band, s.id, s.sig[b.band*8+1 : b.band*8+8] AS key
         |  FROM sigs s, (SELECT unnest(generate_series(0,15)) AS band) b),
@@ -1131,6 +1159,27 @@ object SparkEntry {
         s"(${q(d.product)}, ${q(d.woman)}, ${q(d.children)}, ${q(d.agedness)})"
       }.mkString(", ")
       s"SELECT * FROM (VALUES $rows) t(product, woman, children, agedness)"
+    },
+    // the stub features are DETERMINISTIC, so mm_features is pinned by
+    // VALUES literals generated from the same Scala row/feature functions
+    // (Multimodal.mediaRow/byteHistogram/resizeDims/frameOffsets — single
+    // source of truth); only the decode itself remains a declared stub
+    "mm_features" -> {
+      val rows = (0L until 200L).map { i =>
+        val m = graft.textops.Multimodal.mediaRow(i)
+        val hist = graft.textops.Multimodal.byteHistogram(m.bytes)
+        val (rw, rh) = graft.textops.Multimodal
+          .resizeDims(m.meta.width, m.meta.height, 256)
+        val fo = graft.textops.Multimodal.frameOffsets(m.meta.durationMs, 4)
+        s"(${m.mediaId}, '${m.kind}', ${m.bytes.length}, $rw, $rh, " +
+          s"'${hist.mkString(",")}', ${fo.length}, '${fo.mkString(",")}')"
+      }.mkString(", ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+         |  CAST(n_bytes AS INT) AS n_bytes, CAST(resized_w AS INT) AS resized_w,
+         |  CAST(resized_h AS INT) AS resized_h, hist,
+         |  CAST(n_frames AS INT) AS n_frames, frames
+         |FROM (VALUES $rows)
+         | t(media_id, kind, n_bytes, resized_w, resized_h, hist, n_frames, frames)""".stripMargin
     },
     // A11/U2 set semantics re-derived over the dumped seen-surface and
     // refined-dictionary tables

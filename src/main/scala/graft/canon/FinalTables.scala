@@ -245,7 +245,11 @@ object FinalTables {
   /** source_labeled (clean_and_save.py:1223-1245): training datasets joined
     * to the knowledge sources they were labeled from — souc_id is the
     * sorted set of corpus_info source ids of the dataset's corpus type
-    * (全量数据 → every source), exactly the reference's list-valued column.
+    * (全量数据 → every source). DELIBERATE DEVIATION from the reference's
+    * list-valued column: the reference filters corpus_info to
+    * souc_form == 'json' and keeps ids in frame order
+    * (clean_and_save.py:1224-1233); graft's corpus_info has no souc_form
+    * concept, and the ids are sorted for cross-parallelism determinism.
     */
   def sourceLabeled(training: DataFrame, corpusInfo: DataFrame)(
       implicit spark: SparkSession): DataFrame = {

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -57,6 +58,15 @@ case class BoundedEnds(
   require(k > 0, "bounded_ends requires k > 0")
 
   override def children: Seq[Expression] = Seq(child)
+  // integral inputs are accepted and widened in update(); anything else
+  // fails at ANALYSIS time instead of throwing a mid-query
+  // ClassCastException from a blind Long cast
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bounded_ends requires an integral input, got ${other.catalogString}")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("n_total", LongType, nullable = false),
@@ -69,7 +79,7 @@ case class BoundedEnds(
     val v = child.eval(input)
     if (v != null) {
       buf.count += 1
-      buf.add(v.asInstanceOf[Long])
+      buf.add(v.asInstanceOf[Number].longValue) // widens INT/SHORT/BYTE
     }
     buf
   }

@@ -94,9 +94,13 @@ object Dedup {
     * Truncation is OBSERVABLE, not silent ("cap + count" contract): the
     * bucket stage carries an `observe` with named metrics
     * (`truncated_buckets`, `dropped_ids`, `max_bucket_size`) surfaced to any
-    * QueryExecutionListener and to `df.queryExecution.observedMetrics` after
-    * an action; [[bucketStats]] gives the same numbers as a first-class
-    * audit query.
+    * QueryExecutionListener; callers that return the lazy plan
+    * (embeddingNearDup) also expose them on
+    * `df.queryExecution.observedMetrics` after an action, while the
+    * eagerly-materialized callers (minhashLsh / simhashDedup) surface them
+    * through the listener channel during their internal action.
+    * [[minhashBucketStats]] gives the same numbers as a first-class audit
+    * query.
     */
   private[textops] def cappedPairs(
       banded: DataFrame, metricName: String): DataFrame = {
@@ -186,42 +190,54 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The signature stage (128 splitmix mixes per shingle over the WHOLE
+    // corpus) feeds three consumers: the banding flatMap and both sides of
+    // the verify join. Left uncached, Spark recomputes it once per consumer
+    // — two extra full-corpus CPU passes at 100 TB (measured 5.1 s → ~2 s
+    // at sf0.1). So: persist for the duration of the call, materialize the
+    // verified-pair output eagerly (it is the small end of the LSH funnel —
+    // orders of magnitude below the corpus), and release the cache in
+    // `finally` — no storage outlives the call. At cluster scale, swap the
+    // local checkpoint for a reliable checkpoint dir if executor loss
+    // during the downstream consumer matters.
     val sigs = minhashSigsDf(docs, idCol, textCol)
-    // no persist: the signature map is cheap to recompute (row-local
-    // hashing) and a cached copy would outlive the call (storage leak in
-    // long-lived sessions)
-
-    // banding: (band, hash(sig slice)) buckets
-    val banded = sigs.as[(Long, Array[Long], Array[Long])]
-      .flatMap { case (id, sig, _) =>
-        (0 until Bands).map { b =>
-          var h = 0xcafe_babeL ^ b.toLong
-          var r = 0
-          while (r < RowsPerBand) {
-            h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // banding: (band, hash(sig slice)) buckets
+      val banded = sigs.as[(Long, Array[Long], Array[Long])]
+        .flatMap { case (id, sig, _) =>
+          (0 until Bands).map { b =>
+            var h = 0xcafe_babeL ^ b.toLong
+            var r = 0
+            while (r < RowsPerBand) {
+              h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+            }
+            (b, h, id)
           }
-          (b, h, id)
+        }.toDF("band", "bucket", "id")
+
+      val pairs = cappedPairs(banded, "graft.dedup.minhash_buckets")
+
+      // verification: exact Jaccard on shingle sets
+      val shA = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"),
+        $"sig".as("sig_a"))
+      val shB = sigs.select($"id".as("id_b"), $"shingles".as("sh_b"),
+        $"sig".as("sig_b"))
+      pairs.join(shA, "id_a").join(shB, "id_b")
+        .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+        .map { case (b, a, shb, sigb, sha, siga) =>
+          var eq = 0
+          var i = 0
+          while (i < NumHashes) { if (siga(i) == sigb(i)) eq += 1; i += 1 }
+          (a, b, eq.toDouble / NumHashes, exactJaccard(sha, shb))
         }
-      }.toDF("band", "bucket", "id")
-
-    val pairs = cappedPairs(banded, "graft.dedup.minhash_buckets")
-
-    // verification: exact Jaccard on shingle sets
-    val shA = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"),
-      $"sig".as("sig_a"))
-    val shB = sigs.select($"id".as("id_b"), $"shingles".as("sh_b"),
-      $"sig".as("sig_b"))
-    val out = pairs.join(shA, "id_a").join(shB, "id_b")
-      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
-      .map { case (b, a, shb, sigb, sha, siga) =>
-        var eq = 0
-        var i = 0
-        while (i < NumHashes) { if (siga(i) == sigb(i)) eq += 1; i += 1 }
-        (a, b, eq.toDouble / NumHashes, exactJaccard(sha, shb))
-      }
-      .toDF("id_a", "id_b", "est_sim", "jaccard")
-      .filter($"jaccard" >= threshold)
-    out
+        .toDF("id_a", "id_b", "est_sim", "jaccard")
+        .filter($"jaccard" >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      sigs.unpersist(false)
+      ()
+    }
   }
 
   /** Similarity-graph edges by RARE-FEATURE linking: two documents are
@@ -323,17 +339,27 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // same three-consumer shape as minhashLsh (banding + both join sides):
+    // persist the one-full-text-pass signature stage, materialize the small
+    // verified output, release the cache deterministically
     val sigs = simhashSigsDf(docs, idCol, textCol)
-    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
-      (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
-    }.toDF("band", "bucket", "id")
-    val pairs = cappedPairs(banded, "graft.dedup.simhash_buckets")
-    pairs
-      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
-      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
-      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
-      .filter($"hamming" <= maxDist)
-      .select($"id_a", $"id_b", $"hamming")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+        (0 until 4).map(b => (b, (sig >>> (b * 16)) & 0xffffL, id))
+      }.toDF("band", "bucket", "id")
+      val pairs = cappedPairs(banded, "graft.dedup.simhash_buckets")
+      pairs
+        .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
+        .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
+        .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+        .filter($"hamming" <= maxDist)
+        .select($"id_a", $"id_b", $"hamming")
+        .localCheckpoint(true)
+    } finally {
+      sigs.unpersist(false)
+      ()
+    }
   }
 
   /** Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
@@ -351,9 +377,15 @@ object Dedup {
     * could not partial-aggregate); unique grams (the overwhelming majority
     * at any scale) die in the partial agg. Coverage and reconstruction are
     * keyed by (doc_id, idx) — partitioned by doc, per-doc memory bounded
-    * by the document's own word count. Swap the gram string for a 128-bit
-    * fingerprint to cut shuffle bytes at 100 TB; kept as exact text here
-    * so the DuckDB oracle re-derives removal byte-for-byte.
+    * by the document's own word count. With `hashGrams` (the default) the
+    * duplicate-gram table is keyed by `xxhash64(gram)` instead of the k-word
+    * string — 8 bytes/row through the corpus-wide shuffle instead of the
+    * gram text (measured ~8× fewer gram-stage shuffle bytes at sf0.1, see
+    * BASELINE.md). A 64-bit collision (~n²/2⁶⁵) could only MERGE two
+    * distinct grams' occurrence groups — deterministic, and it would
+    * surface as a removal diff against the string-keyed DuckDB oracle,
+    * which stays byte-exact on the gram TEXT; `hashGrams = false` retains
+    * the exact-string path.
     *
     * The (doc_id, words) projection feeds three consumers (shingles,
     * positions, final counts); at 100 TB cache/checkpoint that projection
@@ -366,13 +398,14 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8
+      k: Int = 8,
+      hashGrams: Boolean = true
   ): DataFrame = {
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
       filter(split(coalesce(col(textCol), lit("")), " +", -1),
         w => length(w) > 0).as("w"))
-    val sh = base.select(col("doc_id"),
+    val shStr = base.select(col("doc_id"),
       explode(when(size(col("w")) >= k,
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
           i => struct(i.as("start"),
@@ -381,6 +414,11 @@ object Dedup {
         .as("s"))
       .select(col("doc_id"), col("s.start").as("start"),
         col("s.gram").as("gram"))
+    val sh =
+      if (hashGrams)
+        shStr.select(col("doc_id"), col("start"),
+          xxhash64(col("gram")).as("gram"))
+      else shStr
     val firsts = sh.groupBy("gram").agg(
       count(lit(1)).as("c"),
       min(struct(col("doc_id"), col("start"))).as("first"))

@@ -33,49 +33,68 @@ object Multimodal {
       meta: MediaMeta
   )
 
+  /** Deterministic synthetic media row for id `i` — the single source of
+    * truth shared by [[mediaTable]] (the distributed table) and the
+    * generated-VALUES oracle in SparkEntry (which replays the same rows
+    * driver-side to pin the stub features cross-engine).
+    */
+  def mediaRow(i: Long): MediaRow = {
+    val kind = (i % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val len = 256 + (Hashing.mix(i, 7L) & 0x3ffL).toInt
+    val bytes = new Array[Byte](len)
+    var j = 0
+    var h = Hashing.mix(i, 13L)
+    while (j < len) {
+      bytes(j) = (h & 0xff).toByte
+      h = Hashing.mix(h)
+      j += 1
+    }
+    val meta = kind match {
+      case "image" => MediaMeta(64 + (i % 512).toInt, 64 + (i % 384).toInt, 0, 0, "png")
+      case "audio" => MediaMeta(0, 0, 16000, 1000 + (i % 9000).toInt, "wav")
+      case _       => MediaMeta(320, 240, 0, 2000 + (i % 28000).toInt, "mp4")
+    }
+    MediaRow(i, kind, bytes, meta)
+  }
+
   /** Deterministic synthetic media table: payload bytes derive from the id. */
   def mediaTable(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0, n, 1, partitions).map { i =>
-      val kind = (i % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
-      }
-      val len = 256 + (Hashing.mix(i, 7L) & 0x3ffL).toInt
-      val bytes = new Array[Byte](len)
-      var j = 0
-      var h = Hashing.mix(i, 13L)
-      while (j < len) {
-        bytes(j) = (h & 0xff).toByte
-        h = Hashing.mix(h)
-        j += 1
-      }
-      val meta = kind match {
-        case "image" => MediaMeta(64 + (i % 512).toInt, 64 + (i % 384).toInt, 0, 0, "png")
-        case "audio" => MediaMeta(0, 0, 16000, 1000 + (i % 9000).toInt, "wav")
-        case _       => MediaMeta(320, 240, 0, 2000 + (i % 28000).toInt, "mp4")
-      }
-      MediaRow(i, kind, bytes, meta)
-    }
+    spark.range(0, n, 1, partitions).map(i => mediaRow(i))
   }
 
   final val FeatureDim = 16
+
+  /** Integer 16-bin byte histogram — the exact (un-normalized) counts behind
+    * [[decodeStub]]; exposed so the generated-VALUES oracle can pin the stub
+    * features in integer space (the float normalization round-trips exactly:
+    * round((c/t)·t) = c for counts ≤ 2^23).
+    */
+  def byteHistogram(bytes: Array[Byte]): Array[Int] = {
+    val hist = new Array[Int](FeatureDim)
+    if (bytes == null) return hist
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >>> 4) += 1
+      i += 1
+    }
+    hist
+  }
 
   /** ==== STUB ==== stands in for a real image/audio decoder (no codec libs
     * in this container): 16-bin byte histogram, L1-normalized. Deterministic;
     * replace with a real decode to productionize.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
-    if (bytes == null || bytes.isEmpty) return hist
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >>> 4) += 1f
-      i += 1
-    }
+    val out = new Array[Float](FeatureDim)
+    if (bytes == null || bytes.isEmpty) return out
+    val hist = byteHistogram(bytes)
     val total = bytes.length.toFloat
     var b = 0
-    while (b < FeatureDim) { hist(b) /= total; b += 1 }
-    hist
+    while (b < FeatureDim) { out(b) = hist(b) / total; b += 1 }
+    out
   }
 
   /** ==== STUB ==== resize: recomputes target dims preserving aspect ratio;

@@ -286,17 +286,28 @@ object TextOps {
     */
   def repetitionSignals(text: String): (Long, Long, Long) = {
     if (text == null || text.isEmpty) return (0L, 0L, 0L)
+    // CODEPOINT counts and UTF-8-byte tie-break order, matching the DuckDB
+    // mirror exactly (len() counts codepoints, default collation is binary
+    // UTF-8) — UTF-16 code-unit length/order would diverge on
+    // supplementary-plane characters (emoji, astral CJK)
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    def utf8Less(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     val lines = text.split("\n").filter(_.nonEmpty)
     val lineCounts = new scala.collection.mutable.HashMap[String, Int]
     lines.foreach(l => lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1))
     var dupChars = 0L
     var totalLineChars = 0L
     lines.foreach { l =>
-      totalLineChars += l.length
-      if (lineCounts(l) > 1) dupChars += l.length
+      val n = cp(l)
+      totalLineChars += n
+      if (lineCounts(l) > 1) dupChars += n
     }
     val dupFrac = dupChars * 1000000L / math.max(totalLineChars, 1L)
     val words = text.split(" +").filter(_.nonEmpty)
+    val textCp = cp(text)
     def topGramFrac(n: Int): Long = {
       if (words.length < n) return 0L
       val counts = new scala.collection.mutable.HashMap[String, Int]
@@ -307,11 +318,11 @@ object TextOps {
       var bestG: String = null
       var bestC = 0
       counts.foreach { case (g, c) =>
-        if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+        if (c > bestC || (c == bestC && (bestG == null || utf8Less(g, bestG)))) {
           bestG = g; bestC = c
         }
       }
-      bestC.toLong * bestG.length * 1000000L / math.max(text.length, 1L)
+      bestC.toLong * cp(bestG) * 1000000L / math.max(textCp, 1L)
     }
     (dupFrac, topGramFrac(2), topGramFrac(3))
   }
@@ -641,23 +652,33 @@ object TextOps {
       maxDupLineX1e6: Long = 300000L,
       maxTop2X1e6: Long = 200000L,
       maxTop3X1e6: Long = 180000L): String = {
+    // empty-list guards keep the two engines' contracts symmetric (Spark's
+    // isInCollection(empty) is simply never-true): no blocked domains →
+    // n_blocked is 0; no allowed langs → every doc is drop:lang. Without
+    // these, `IN ()` is a DuckDB syntax error while the Spark side runs.
     val langList = allowedLangs.map(l => s"'$l'").mkString(", ")
     val domList = blockedDomains
       .map(d => "'" + d.replace("'", "''") + "'").mkString(", ")
     val pat = urlHostPattern.replace("'", "''")
+    val nBlockedExpr =
+      if (blockedDomains.isEmpty) "CAST(0 AS BIGINT)"
+      else
+        s"""CAST(len(list_filter(regexp_extract_all(coalesce(text, ''), '$pat', 1),
+           |    h -> h IN ($domList))) AS BIGINT)""".stripMargin
+    val langDropCond =
+      if (allowedLangs.isEmpty) "TRUE" else s"s.lang NOT IN ($langList)"
     s"""WITH rep AS (${repetitionSignalsSql(table)}),
        |sig AS (SELECT doc_id,
        |  ${langIdSql("text")} AS lang,
        |  CAST(len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
        |    w -> len(w) > 0)) AS BIGINT) AS n_words,
        |  ${qualityScoreX1e6Sql("text")} AS quality_x1e6,
-       |  CAST(len(list_filter(regexp_extract_all(coalesce(text, ''), '$pat', 1),
-       |    h -> h IN ($domList))) AS BIGINT) AS n_blocked
+       |  $nBlockedExpr AS n_blocked
        |  FROM $table)
        |SELECT s.doc_id, s.lang, s.n_words, s.quality_x1e6,
        |  r.dup_line_frac_x1e6, r.top2_frac_x1e6, r.top3_frac_x1e6,
        |  s.n_blocked,
-       |  CASE WHEN s.lang NOT IN ($langList) THEN 'drop:lang'
+       |  CASE WHEN $langDropCond THEN 'drop:lang'
        |       WHEN s.n_words < $minWords OR s.n_words > $maxWords
        |         THEN 'drop:word_count'
        |       WHEN s.quality_x1e6 < $minQualityX1e6 THEN 'drop:quality'

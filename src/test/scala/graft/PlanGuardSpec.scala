@@ -18,6 +18,33 @@ class PlanGuardSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Executed plan of the INTERNAL action for the eagerly-materialized
+    * dedup calls: minhashLsh/simhashDedup persist their signature stage and
+    * checkpoint the verified output, so the returned DataFrame's own plan
+    * is just a checkpoint scan — the real pipeline plan is captured from
+    * the listener channel, keyed by the observe-node metric name.
+    */
+  private def internalExecutedPlan(name: String, metricName: String): String = {
+    @volatile var captured: Option[String] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.observedMetrics.contains(metricName))
+          captured = Some(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries(name)(spark, sf).collect()
+      val deadline = System.nanoTime() + 10000000000L
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      captured.getOrElse(fail(s"internal plan for $name never surfaced"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("filters are pushed to the parquet scan (p13)") {
     val p = executedPlan("p13_filter_guards")
     assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)")
@@ -37,20 +64,31 @@ class PlanGuardSpec extends AnyFunSuite {
     // keep runtime bounded: guard the join-bearing query family
     val guarded = Seq("j1_join_lineage", "j2_broadcast_dim",
       "j_anti_no_orders", "j_semi_sold_high", "dedup_embedding_cos",
-      "dedup_minhash_lsh", "dedup_simhash", "sim_topk_lsh", "sim_topk_ivf",
+      "sim_topk_lsh", "sim_topk_ivf",
       "tq_contamination", "dedup_cluster_pick")
     guarded.filterNot(exempt).foreach { name =>
       val p = executedPlan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n${p.take(800)}")
     }
+    // the eagerly-materialized dedup calls: audit the INTERNAL plan
+    Seq("dedup_minhash_lsh" -> "graft.dedup.minhash_buckets",
+      "dedup_simhash" -> "graft.dedup.simhash_buckets").foreach {
+      case (name, metric) =>
+        val p = internalExecutedPlan(name, metric)
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n${p.take(800)}")
+    }
   }
 
   test("the capped dedup bucket stage plans as ObjectHashAggregate") {
-    val p = executedPlan("dedup_simhash")
+    val p = internalExecutedPlan("dedup_simhash", "graft.dedup.simhash_buckets")
     assert(p.contains("ObjectHashAggregate"), p.take(1200))
     // and the old full-bucket collect_list is gone from the bucket stage
     assert(!p.contains("collect_list"), "collect_list back in the cap path")
+    // the persisted signature stage is actually read from cache in the
+    // internal plan (the single-pass contract)
+    assert(p.contains("InMemoryTableScan"), "sigs cache not in the plan")
   }
 
   test("langid stays a narrow single-scan aggregation (no join, no extra scan)") {

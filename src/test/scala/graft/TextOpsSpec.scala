@@ -116,13 +116,33 @@ class TextOpsSpec extends AnyFunSuite {
     val truncated = stats.filter(_.getBoolean(3))
     assert(truncated.nonEmpty, "no truncated bucket reported")
     assert(truncated.forall(_.getLong(2) == 60L))
-    // the observe() metric on the pair path reports the same drop
-    val pairs = Dedup.minhashLsh(boiler, "doc_id", "text", 0.5)
-    pairs.collect()
-    val m = pairs.queryExecution.observedMetrics("graft.dedup.minhash_buckets")
-    assert(m.getAs[Long]("truncated_buckets") == Dedup.Bands.toLong)
-    assert(m.getAs[Long]("dropped_ids") == Dedup.Bands.toLong * 10)
-    assert(m.getAs[Long]("max_bucket_size") == 60L)
+    // the observe() metric on the pair path reports the same drop.
+    // minhashLsh materializes its output eagerly (single-pass signature
+    // cache), so the metric surfaces through the session-wide
+    // QueryExecutionListener channel (fired by the internal action), not on
+    // the returned DataFrame's own queryExecution
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.dedup.minhash_buckets")
+          .foreach(r => captured = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.minhashLsh(boiler, "doc_id", "text", 0.5).collect()
+      // the listener bus is asynchronous
+      val deadline = System.nanoTime() + 10000000000L
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = captured.getOrElse(fail("observed metrics never surfaced"))
+      assert(m.getAs[Long]("truncated_buckets") == Dedup.Bands.toLong)
+      assert(m.getAs[Long]("dropped_ids") == Dedup.Bands.toLong * 10)
+      assert(m.getAs[Long]("max_bucket_size") == 60L)
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("bucket cap keeps BOTH ends: extreme-id pair survives a truncated bucket") {
