@@ -495,6 +495,16 @@ object SparkEntry {
         Map("en" -> 10), defaultRate = 50)
         .select(col("doc_id"), col("lang"))
     }),
+    // ---- training-batch assembly: token-budget sequence packing ----
+    "tq_pack_sequences" -> ((s, dir) => {
+      graft.textops.TextOps.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", "source", 2048L)
+    }),
+    // ---- domain-mix temperature rebalancing (alpha = 0.5) ----
+    "tq_domain_mix" -> ((s, dir) => {
+      graft.textops.TextOps.domainMixSample(
+        t(s, dir, "documents"), "doc_id", "source")
+    }),
     // ---- benchmark-contamination scan (train/test leakage check) ----
     "tq_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1088,6 +1098,12 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin,
+    // mirrors GENERATED from the same TextOps builders (single source of
+    // truth for the window frame / integer div / sqrt-rate arithmetic)
+    "tq_pack_sequences" ->
+      graft.textops.TextOps.packSequencesSql("documents", 2048L),
+    "tq_domain_mix" ->
+      graft.textops.TextOps.domainMixSampleSql("documents"),
     "tq_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -690,6 +690,105 @@ object TextOps {
        |FROM sig s JOIN rep r ON s.doc_id = r.doc_id""".stripMargin
   }
 
+  // ---- training-batch assembly: token-budget sequence packing -------------
+
+  /** Token-budget sequence packing (the data-side half of GPT-style
+    * sequence packing for training batches): assign documents to
+    * consecutive packs per shard so each pack holds ~`budget` whitespace
+    * tokens. A document joins the pack indexed by
+    * floor(exclusive-prefix-tokens / budget) in deterministic
+    * (shard, doc_id) order — packs are budget-aligned and may overrun by
+    * at most one document. EXACT first-fit packing is inherently
+    * sequential; this prefix-sum form is the scalable equivalent: ONE
+    * shuffle on the shard column, and within a shard the running sum is a
+    * streaming window frame (O(1) state, no full-partition buffer).
+    * Shard by a column with cardinality ≥ cluster parallelism (source,
+    * crawl file, doc_id bucket). Output (shard, doc_id, n_tokens,
+    * pack_id); integer arithmetic throughout, so the assignment is
+    * engine- and cluster-size-reproducible.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "packSequences requires budget > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol).cast("long").as("doc_id"),
+        size(filter(split(coalesce(col(textCol), lit("")), " +", -1),
+          x => length(x) > 0)).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum div ${budget}L"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
+  }
+
+  /** DuckDB mirror of [[packSequences]] over a (doc_id, source, text)
+    * table, sharded by `source` (same window frame, same integer div).
+    */
+  def packSequencesSql(table: String, budget: Long): String =
+    s"""SELECT shard, doc_id, n_tokens,
+       |  CAST(cum // $budget AS BIGINT) AS pack_id
+       |FROM (
+       |  SELECT shard, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM (
+       |    SELECT source AS shard, doc_id,
+       |      CAST(len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |        x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |    FROM $table))""".stripMargin
+
+  // ---- domain-mix temperature rebalancing ---------------------------------
+
+  /** Temperature-based domain rebalancing (downsample-toward-rarest): keep
+    * a document of domain d with probability sqrt(n_min / n_d) — the
+    * alpha = 0.5 unigram-mix temperature that flattens the domain
+    * histogram halfway toward uniform, so dominant web domains stop
+    * swamping the training mix while rare domains are kept whole.
+    *
+    * Deterministic and engine-exact BY CONSTRUCTION: sqrt is correctly
+    * rounded in IEEE-754 (unlike pow — which is why alpha is fixed at
+    * 0.5), the keep-rate is scaled by 2^20 (power-of-two scaling is
+    * exact) and compared in integers against an md5-derived uniform. A
+    * rerun, the DuckDB oracle, or a 1000-executor cluster keeps exactly
+    * the same documents.
+    *
+    * Scale shape: one tiny groupBy(domain) histogram (thousands of rows at
+    * any corpus size) broadcast back, then a narrow filter that runs
+    * inside the scan stage. Output (doc_id, domain).
+    */
+  def domainMixSample(
+      docs: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("nd"))
+    val nmin = counts.agg(min(col("nd")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(domainCol),
+        floor(sqrt(col("nmin").cast("double") / col("nd")) * 1048576d)
+          .as("rate_x2p20"))
+    docs.join(broadcast(rates), Seq(domainCol))
+      .filter((conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1048576L) < col("rate_x2p20"))
+      .select(col(idCol), col(domainCol))
+  }
+
+  /** DuckDB mirror of [[domainMixSample]] over a (doc_id, source) table. */
+  def domainMixSampleSql(table: String): String =
+    s"""WITH c AS (SELECT source, count(*) AS nd FROM $table GROUP BY source),
+       |m AS (SELECT min(nd) AS nmin FROM c),
+       |r AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(nmin AS DOUBLE) / nd) * 1048576) AS BIGINT)
+       |          AS rate
+       |      FROM c, m)
+       |SELECT d.doc_id, d.source
+       |FROM $table d JOIN r ON d.source = r.source
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 1048576 < r.rate""".stripMargin
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —

@@ -370,4 +370,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, "keep")))
     assert(out(4L) == ((0L, 0L, "keep"))) // null text → no URLs, kept
   }
+
+  test("packSequences: budget-aligned prefix packing per shard, bounded overrun") {
+    import spark.implicits._
+    val budget = 10L
+    val docs = (0L until 40L).map { i =>
+      val words = 1 + (i % 7).toInt * 3 // 1..19 tokens, some > budget/2
+      (i, if (i % 2 == 0) "a" else "b", Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(docs, "doc_id", "text", "source", budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, id, n, pack) =>
+        assert(pack == cum / budget, s"shard $shard doc $id")
+        cum += n
+      }
+      // a pack never exceeds budget by more than one document
+      val maxDoc = sorted.map(_._3).max
+      sorted.groupBy(_._4).foreach { case (p, prows) =>
+        assert(prows.map(_._3).sum <= budget + maxDoc, s"pack $p overran")
+      }
+    }
+  }
+
+  test("domainMixSample: rarest domain kept whole, dominant flattened, deterministic") {
+    import spark.implicits._
+    val docs = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b")) ++
+      (2000 until 2025).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val kept = TextOps.domainMixSample(docs, "doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("c") == 25) // rate sqrt(25/25) = 1 → every doc kept
+    // expected keep-rates sqrt(25/400) = 0.25 and sqrt(25/100) = 0.5
+    assert(byDom("a") > 60 && byDom("a") < 140, byDom.toString)
+    assert(byDom("b") > 30 && byDom("b") < 70, byDom.toString)
+    val again = TextOps.domainMixSample(docs, "doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept.toSet)
+  }
 }
