@@ -308,19 +308,20 @@ object SparkEntry {
     }),
     // exact-copy signature invariance: identical text ⇒ identical 128-long
     // MinHash signature (pins signature determinism with a trivially-SQL
-    // oracle — every planted +10M twin must agree with its original)
+    // oracle — every planted +10M twin must agree with its original).
+    // ONE signature pass: original and twin meet under the same base id
+    // (id % 10M) and equality is a same-engine digest compare — a two-
+    // branch self-join would recompute the 128-hash map per branch.
     "dedup_minhash_sig_parity" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val twins = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
-      val sigs = graft.textops.Dedup.minhashSigsDf(
+      graft.textops.Dedup.minhashSigsDf(
         docs.unionByName(twins), "doc_id", "text")
-        .select(col("id"), col("sig"))
-      val a = sigs.filter(col("id") < 10000000L)
-        .select(col("id"), col("sig").as("sig_a"))
-      val b = sigs.filter(col("id") >= 10000000L)
-        .select((col("id") - 10000000L).as("id"), col("sig").as("sig_b"))
-      a.join(b, "id")
-        .select(col("id"), (col("sig_a") === col("sig_b")).as("sigs_equal"))
+        .select((col("id") % 10000000L).as("id"),
+          xxhash64(col("sig").cast("string")).as("h"))
+        .groupBy(col("id"))
+        .agg((countDistinct(col("h")) === 1 && count(lit(1)) === 2)
+          .as("sigs_equal"))
     }),
     "dedup_simhash_sigs" -> ((s, dir) => {
       graft.textops.Dedup.simhashSigsDf(

@@ -28,7 +28,10 @@ object PlanCheck {
       // before the verdict projection)
       "tq_filter_pipeline",
       // ExactSubstr dedup: gram groupBy must partial-aggregate (no window)
-      "dedup_substring")
+      "dedup_substring",
+      // round-4: sequence packing (ONE shuffle on shard, running-frame
+      // window), domain mix (tiny histogram broadcast back, narrow filter)
+      "tq_pack_sequences", "tq_domain_mix")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
