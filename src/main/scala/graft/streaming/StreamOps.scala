@@ -16,6 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     (the online analog of the batch mention dedup A3: first-seen wins
   *     within a TTL) — custom state where built-in operators can't express
   *     the semantics;
+  *   - streaming DOCUMENT dedup for incremental crawls via
+  *     flatMapGroupsWithState keyed by content fingerprint (first copy
+  *     emitted, re-crawls suppressed, TTL-bounded state);
   *   - foreachBatch bridging micro-batches onto the batch NER annotate stage
   *     (the online-NER path: each micro-batch of sentences runs the same
   *     broadcast-trie + scorer ensemble used in batch, so online and offline
@@ -75,6 +78,54 @@ object StreamOps {
             state.update(next)
             state.setTimeoutDuration(ttl)
             DedupOut(key.userId, key.eventType, next.firstTs, next.count - 1)
+          }
+      }
+  }
+
+  final case class DocIn(docId: Long, fp: Long, tsMs: Long)
+  final case class FirstSeen(fp: Long, docId: Long, tsMs: Long)
+
+  /** Streaming exact-dedup for INCREMENTAL CRAWLS: keyed by content
+    * fingerprint (e.g. `TextOps.fingerprint`/`rollingHash` of the
+    * normalized text), a document is EMITTED only the first time its
+    * fingerprint is seen — re-crawls and mirrors arriving in later
+    * micro-batches are suppressed. flatMapGroupsWithState (not map): the
+    * output is 0 or 1 rows per key per batch, and within a batch the
+    * (tsMs, docId)-minimal copy wins so the emission is deterministic
+    * under any micro-batch partitioning.
+    *
+    * State is one presence mark per fingerprint, partitioned by key
+    * across executors (RocksDB state store in production), with a
+    * processing-time TTL so state size is bounded by the crawl window
+    * rather than corpus history — the standard freshness/memory tradeoff:
+    * a copy arriving after `ttl` of key silence is treated as new.
+    * Pass `ttl = None` for BOUNDED replays (Trigger.AvailableNow):
+    * processing-time timeouts assume an always-on query, and their batch
+    * scheduler races the end-of-data checkpoint cleanup of a bounded one
+    * (observed as a spurious FileNotFound on the temp checkpoint).
+    */
+  def streamingDocDedup(
+      docs: Dataset[DocIn],
+      ttl: Option[String] = Some("30 minutes")
+  ): Dataset[FirstSeen] = {
+    import docs.sparkSession.implicits._
+    val conf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, FirstSeen](OutputMode.Append, conf) {
+        (fp: Long, rows: Iterator[DocIn], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val isNew = !state.exists
+            state.update(1L)
+            ttl.foreach(state.setTimeoutDuration)
+            if (isNew) {
+              val first = rows.minBy(d => (d.tsMs, d.docId))
+              Iterator.single(FirstSeen(fp, first.docId, first.tsMs))
+            } else Iterator.empty
           }
       }
   }

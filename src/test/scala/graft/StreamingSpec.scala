@@ -45,6 +45,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(out((2L, "view")).dupCount == 0)
   }
 
+  test("streaming doc dedup: first-seen wins across micro-batches, later copies suppressed") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("dd_src")
+    // three micro-batches with overlapping fingerprints; order forced by
+    // mtime (the file source orders by modification time)
+    val batches = Seq(
+      Seq((10L, 1L, 100L), (11L, 2L, 110L), (12L, 2L, 105L)), // fp2 twice IN batch
+      Seq((20L, 2L, 200L), (21L, 3L, 210L)),                  // fp2 is a re-crawl
+      Seq((30L, 1L, 300L), (31L, 3L, 310L), (32L, 4L, 320L))) // fp1/fp3 re-crawls
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val d = srcDir.resolve(s"b$i")
+      rows.toDF("docId", "fp", "tsMs").coalesce(1)
+        .write.mode("overwrite").parquet(d.toString)
+      val part = new java.io.File(d.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"f$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema("docId LONG, fp LONG, tsMs LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .as[StreamOps.DocIn]
+    val q = StreamOps.streamingDocDedup(stream, ttl = None) // bounded replay
+      .writeStream.queryName("dd_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").start()
+    q.awaitTermination(180000)
+    val out = spark.table("dd_sink").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 4) // one emission per fingerprint, ever
+    assert(out(1L) == ((10L, 100L)))
+    assert(out(2L) == ((12L, 105L))) // within-batch: (tsMs, docId)-minimal copy
+    assert(out(3L) == ((21L, 210L)))
+    assert(out(4L) == ((32L, 320L)))
+  }
+
+  test("streaming doc dedup, TTL path (batch mode): one emission per fingerprint") {
+    import spark.implicits._
+    val in = Seq(
+      StreamOps.DocIn(1L, 7L, 500L),
+      StreamOps.DocIn(2L, 7L, 400L), // earlier ts wins within the batch
+      StreamOps.DocIn(3L, 8L, 600L)
+    ).toDS()
+    val out = StreamOps.streamingDocDedup(in).collect()
+      .map(f => f.fp -> ((f.docId, f.tsMs))).toMap
+    assert(out.size == 2)
+    assert(out(7L) == ((2L, 400L)))
+    assert(out(8L) == ((3L, 600L)))
+  }
+
   test("stream/batch triple parity: foreachBatch micro-batches emit the exact batch triple set") {
     import spark.implicits._
     implicit val ss: org.apache.spark.sql.SparkSession = spark
