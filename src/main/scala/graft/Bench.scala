@@ -220,8 +220,11 @@ object Bench {
     SparkEntry.queries.get("a4_freq_count")
       .foreach(q => try q(spark, sfDir).count() catch { case _: Throwable => })
     val skipInBench = Set("kg_triples", "kg_group_taboo")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (!skipInBench.contains(name)) {
+    val qseq = SparkEntry.queries.toSeq
+      .filterNot(kv => skipInBench.contains(kv._1))
+    def runQueries(
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+      qs.foreach { case (name, fn) =>
         // failure → -1.0 sentinel + errors entry, never the failure-path time
         try {
           val (_, sec) = time(fn(spark, sfDir).count())
@@ -232,10 +235,16 @@ object Bench {
             errors += name
         }
       }
-    }
+    runQueries(qseq.take(qseq.size / 2))
+    // pair 2: MID query suite — the parent session idles while the
+    // spark-submit children run, so this is a distinct host-phase slot
+    // (six pairs, six slots, none back-to-back: a single multi-minute
+    // throttle phase cannot cover two pairs)
+    runPair()
+    runQueries(qseq.drop(qseq.size / 2))
     spark.stop()
 
-    runPair() // pair 2: after the query suite
+    runPair() // pair 3: after the query suite
 
     // ---- (2) thread-scaling cross-check with per-visit host control ----
     // 32 vCPUs on this box = 16 physical cores + SMT; a real 4N-executor
@@ -313,9 +322,9 @@ object Bench {
     // interleave the remaining real-executor pairs between the thread
     // passes so the six pairs sample six distinct host phases
     threadPass(1)
-    runPair() // pair 3
-    threadPass(2)
     runPair() // pair 4
+    threadPass(2)
+    runPair() // pair 5
     threadPass(3)
     val controlEff = (bestCtrl(hi) / bestCtrl(lo)) / (hi.toDouble / lo)
     results += "cpu_control_efficiency" -> controlEff
@@ -331,8 +340,7 @@ object Bench {
     results += "scaling_efficiency_threads" -> bestNormEff
     if (bestSmtEff > 0) results += "scaling_efficiency_smt_8_32" -> bestSmtEff
 
-    runPair() // pair 5
-    runPair() // pair 6
+    runPair() // pair 6: after the final thread pass
     if (realPairs.nonEmpty) {
       // MEDIAN of the control-normalized pairs (standard definition: mean
       // of the middle two for an even count), never the max: with samples

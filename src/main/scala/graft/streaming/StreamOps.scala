@@ -120,7 +120,11 @@ object StreamOps {
             Iterator.empty
           } else {
             val isNew = !state.exists
-            state.update(1L)
+            // update only on first sight — rewriting an unchanged presence
+            // mark per duplicate per micro-batch is pure state-store write
+            // amplification on exactly this operator's hot workload;
+            // setTimeoutDuration alone re-arms the sliding TTL
+            if (isNew) state.update(1L)
             ttl.foreach(state.setTimeoutDuration)
             if (isNew) {
               val first = rows.minBy(d => (d.tsMs, d.docId))

@@ -219,9 +219,9 @@ object TextOps {
     * training-data split must have (a rerun or a bigger cluster must never
     * change which documents are in the training set).
     */
-  def md5Bucket(key: Column): Column =
+  def md5Bucket(key: Column, buckets: Long = 100L): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % buckets
 
   /** Stratified deterministic sample: per-stratum keep-rate (percent), e.g.
     * downsample the majority language. Narrow (no shuffle) — the filter
@@ -699,30 +699,57 @@ object TextOps {
     * floor(exclusive-prefix-tokens / budget) in deterministic
     * (shard, doc_id) order — packs are budget-aligned and may overrun by
     * at most one document. EXACT first-fit packing is inherently
-    * sequential; this prefix-sum form is the scalable equivalent: ONE
-    * shuffle on the shard column, and within a shard the running sum is a
-    * streaming window frame (O(1) state, no full-partition buffer).
-    * Shard by a column with cardinality ≥ cluster parallelism (source,
-    * crawl file, doc_id bucket). Output (shard, doc_id, n_tokens,
-    * pack_id); integer arithmetic throughout, so the assignment is
-    * engine- and cluster-size-reproducible.
+    * sequential; this prefix-sum form is the scalable equivalent.
+    *
+    * The prefix sum is TWO-LEVEL, because Spark's WindowExec materializes
+    * each window partition into a (spillable) row buffer before emitting —
+    * a single per-shard window would buffer a dominant shard's entire row
+    * set on one task (the same full-partition-buffer failure class the
+    * BoundedEnds bucket cap exists for). Instead: documents are cut into
+    * sub-shards of ≤ `subShardIds` consecutive doc-ids; the inner running
+    * sum windows over (shard, sub) partitions whose buffers are bounded by
+    * construction, and the sub-shard token totals (one row per sub-shard)
+    * get their own prefix window over the tiny totals table, broadcast
+    * back as offsets. cum = sub_offset + within_sub_prefix is EXACTLY the
+    * per-shard prefix a single window would compute — the output is
+    * identical (spec-pinned) — but no task ever buffers more than one
+    * sub-shard. Integer arithmetic throughout, so the assignment is
+    * engine- and cluster-size-reproducible. Output
+    * (shard, doc_id, n_tokens, pack_id).
     */
   def packSequences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shardCol: String,
-      budget: Long): DataFrame = {
+      budget: Long,
+      subShardIds: Long = 262144L): DataFrame = {
     require(budget > 0, "packSequences requires budget > 0")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    docs
+    require(subShardIds > 0, "packSequences requires subShardIds > 0")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
       .select(col(shardCol).as("shard"), col(idCol).cast("long").as("doc_id"),
         size(filter(split(coalesce(col(textCol), lit("")), " +", -1),
           x => length(x) > 0)).cast("long").as("n_tokens"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("sub", expr(s"doc_id div ${subShardIds}L"))
+    // level 1: per-sub-shard totals (one row per sub-shard), exclusive
+    // prefix over the sub-shards of each shard — tiny window partitions
+    val wSub = Window.partitionBy(col("shard")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tok.groupBy(col("shard"), col("sub"))
+      .agg(sum(col("n_tokens")).as("sub_total"))
+      .withColumn("sub_offset",
+        coalesce(sum(col("sub_total")).over(wSub), lit(0L)))
+      .select(col("shard"), col("sub"), col("sub_offset"))
+    // level 2: exclusive prefix WITHIN a sub-shard — buffer ≤ subShardIds
+    // rows per window partition by construction
+    val wIn = Window.partitionBy(col("shard"), col("sub"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("in_sub", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(offsets, Seq("shard", "sub"))
+      .withColumn("cum", col("sub_offset") + col("in_sub"))
       .withColumn("pack_id", expr(s"cum div ${budget}L"))
       .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
   }
@@ -760,25 +787,31 @@ object TextOps {
     *
     * Scale shape: one tiny groupBy(domain) histogram (thousands of rows at
     * any corpus size) broadcast back, then a narrow filter that runs
-    * inside the scan stage. Output (doc_id, domain).
+    * inside the scan stage. Output (doc_id, domain). NULL-domain rows are
+    * DROPPED, and excluded from the histogram too — left in, a tiny NULL
+    * group could become n_min and silently over-downsample every real
+    * domain while its own rows vanish in the null-unsafe join anyway.
     */
   def domainMixSample(
       docs: DataFrame, idCol: String, domainCol: String): DataFrame = {
-    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("nd"))
+    val nonNull = docs.filter(col(domainCol).isNotNull)
+    val counts = nonNull.groupBy(col(domainCol)).agg(count(lit(1)).as("nd"))
     val nmin = counts.agg(min(col("nd")).as("nmin"))
     val rates = counts.crossJoin(broadcast(nmin))
       .select(col(domainCol),
         floor(sqrt(col("nmin").cast("double") / col("nd")) * 1048576d)
           .as("rate_x2p20"))
-    docs.join(broadcast(rates), Seq(domainCol))
-      .filter((conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1048576L) < col("rate_x2p20"))
+    nonNull.join(broadcast(rates), Seq(domainCol))
+      .filter(md5Bucket(col(idCol), 1048576L) < col("rate_x2p20"))
       .select(col(idCol), col(domainCol))
   }
 
-  /** DuckDB mirror of [[domainMixSample]] over a (doc_id, source) table. */
+  /** DuckDB mirror of [[domainMixSample]] over a (doc_id, source) table
+    * (same NULL-domain exclusion).
+    */
   def domainMixSampleSql(table: String): String =
-    s"""WITH c AS (SELECT source, count(*) AS nd FROM $table GROUP BY source),
+    s"""WITH c AS (SELECT source, count(*) AS nd FROM $table
+       |           WHERE source IS NOT NULL GROUP BY source),
        |m AS (SELECT min(nd) AS nmin FROM c),
        |r AS (SELECT source,
        |        CAST(floor(sqrt(CAST(nmin AS DOUBLE) / nd) * 1048576) AS BIGINT)

@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Measures the ExactSubstr gram-stage shuffle saving of hashed gram keys:
@@ -22,12 +20,7 @@ object SubstrShuffleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    val shuffleBytes = new AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        shuffleBytes.addAndGet(
-          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
+    val meter = new ShuffleMeter(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def run(hashGrams: Boolean): (Long, Long, Long, Double, Double) = {
       def once(): (Long, Long, Long) = {
@@ -39,13 +32,11 @@ object SubstrShuffleProbe {
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       once() // warm
-      Thread.sleep(300)
-      shuffleBytes.set(0L)
+      meter.reset()
       val t0 = System.nanoTime()
       val sig = once()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
-      (sig._1, sig._2, sig._3, sec, shuffleBytes.get / 1048576.0)
+      (sig._1, sig._2, sig._3, sec, meter.mb())
     }
     val s = run(hashGrams = false)
     val h = run(hashGrams = true)

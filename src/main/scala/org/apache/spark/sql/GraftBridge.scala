@@ -17,4 +17,12 @@ object GraftBridge {
     * blocking forever if CollectMetrics ever fails to fire on a write.
     */
   def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+
+  /** Block until the async SparkListenerBus has delivered every queued
+    * event (`listenerBus` is private[spark]; bridged so the measurement
+    * tools can read listener-fed counters deterministically instead of
+    * sleeping and hoping the bus drained).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
 }

@@ -395,6 +395,12 @@ class TextOpsSpec extends AnyFunSuite {
         assert(prows.map(_._3).sum <= budget + maxDoc, s"pack $p overran")
       }
     }
+    // the two-level prefix sum is exactly the single-window prefix:
+    // forcing many tiny sub-shards must not change a single assignment
+    val fine = TextOps.packSequences(docs, "doc_id", "text", "source",
+      budget, subShardIds = 4L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fine.sorted.toSeq == out.sorted.toSeq)
   }
 
   test("domainMixSample: rarest domain kept whole, dominant flattened, deterministic") {
