@@ -506,6 +506,11 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSample(
         t(s, dir, "documents"), "doc_id", "source")
     }),
+    // ---- long-document chunking (fixed 64-token windows, 16 overlap) ----
+    "tq_chunk_docs" -> ((s, dir) => {
+      graft.textops.TextOps.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text", 64, 16)
+    }),
     // ---- benchmark-contamination scan (train/test leakage check) ----
     "tq_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1105,6 +1110,8 @@ object SparkEntry {
       graft.textops.TextOps.packSequencesSql("documents", 2048L),
     "tq_domain_mix" ->
       graft.textops.TextOps.domainMixSampleSql("documents"),
+    "tq_chunk_docs" ->
+      graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
     "tq_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -770,6 +770,65 @@ object TextOps {
        |        x -> len(x) > 0)) AS BIGINT) AS n_tokens
        |    FROM $table))""".stripMargin
 
+  // ---- long-document chunking (fixed token windows with overlap) ----------
+
+  /** Fixed-token-window chunking (the long-document splitter feeding
+    * sequence packing / training): whitespace tokens, windows of
+    * `chunkTokens` advancing by `chunkTokens - overlapTokens`; the last
+    * window keeps the tail (may be shorter), documents with no tokens
+    * yield no chunks. Chunk count k = ceil((n - chunk)/step) + 1 for
+    * n > chunk, else 1 — pure integer arithmetic, and the slices are
+    * 1-based inclusive in both engines, so the output is engine-exact.
+    * Row-local (explode only), ZERO shuffle — at 100 TB this runs inside
+    * the scan stage. Output (doc_id, chunk_ix, n_tokens, chunk_text).
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 512,
+      overlapTokens: Int = 64): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      "chunkDocuments requires chunkTokens > overlapTokens >= 0")
+    val step = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(coalesce(col(textCol), lit("")), " +", -1),
+          w => length(w) > 0).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+           |  sequence(0, CASE WHEN size(w) <= $chunkTokens THEN 0
+           |    ELSE (size(w) - $chunkTokens + $step - 1) div $step END),
+           |  i -> struct(CAST(i AS INT) AS chunk_ix,
+           |    CAST(size(slice(w, i * $step + 1, $chunkTokens)) AS BIGINT)
+           |      AS n_tokens,
+           |    array_join(slice(w, i * $step + 1, $chunkTokens), ' ')
+           |      AS chunk_text)))""".stripMargin).as("c"))
+      .select(col("doc_id"), col("c.chunk_ix"), col("c.n_tokens"),
+        col("c.chunk_text"))
+  }
+
+  /** DuckDB mirror of [[chunkDocuments]] over a (doc_id, text) table. */
+  def chunkDocumentsSql(
+      table: String, chunkTokens: Int, overlapTokens: Int): String = {
+    val step = chunkTokens - overlapTokens
+    s"""SELECT doc_id, CAST(c.i AS INT) AS chunk_ix,
+       |  CAST(len(w[c.i * $step + 1 : c.i * $step + $chunkTokens]) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(w[c.i * $step + 1 : c.i * $step + $chunkTokens], ' ')
+       |    AS chunk_text
+       |FROM (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |      x -> len(x) > 0) AS w
+       |  FROM $table) t,
+       |  LATERAL unnest(generate_series(0,
+       |    CASE WHEN len(w) <= $chunkTokens THEN 0
+       |      ELSE (len(w) - $chunkTokens + $step - 1) // $step END)) c(i)
+       |WHERE len(w) > 0""".stripMargin
+  }
+
   // ---- domain-mix temperature rebalancing ---------------------------------
 
   /** Temperature-based domain rebalancing (downsample-toward-rarest): keep

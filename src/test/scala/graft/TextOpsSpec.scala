@@ -403,6 +403,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fine.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("chunkDocuments: window coverage, overlap stitching, tail and edge docs") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(100)), // multiple full windows + tail
+      (2L, mk(10)),  // shorter than one window → single chunk
+      (3L, mk(16)),  // exactly one window
+      (4L, ""),      // no tokens → no chunks
+      (5L, null.asInstanceOf[String]),
+      (6L, mk(17))   // one token past a window → 2 chunks
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text", 16, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(c => (c._3, c._4.split(" ").toSeq))).toMap
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    assert(byDoc(2L).map(_._1).toSeq == Seq(10L))
+    assert(byDoc(3L).map(_._1).toSeq == Seq(16L))
+    assert(byDoc(6L).size == 2 && byDoc(6L).last._2.size == 5) // tail window
+    // doc 1: step 12 → k = ceil((100-16)/12)+1 = 8 chunks
+    assert(byDoc(1L).size == 8)
+    val chunks1 = byDoc(1L).map(_._2)
+    // overlap stitching: each chunk's first 4 words = previous chunk's last 4
+    chunks1.sliding(2).foreach { pair =>
+      assert(pair(1).take(4) == pair(0).takeRight(4))
+    }
+    // full coverage in order: de-overlapped concatenation rebuilds the doc
+    val rebuilt = chunks1.head ++ chunks1.tail.flatMap(_.drop(4))
+    assert(rebuilt.toSeq == (1 to 100).map(i => s"w$i"))
+  }
+
   test("domainMixSample: rarest domain kept whole, dominant flattened, deterministic") {
     import spark.implicits._
     val docs = ((0 until 400).map(i => (i.toLong, "a")) ++
