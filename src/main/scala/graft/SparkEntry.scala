@@ -362,6 +362,22 @@ object SparkEntry {
         .filter(col("id_b") === col("id_a") + 10000000L)
         .select(col("id_a"), col("id_b"))
     }),
+    // incremental crawl-vs-corpus near-dup: new docs are planted twins of
+    // the stored corpus; the planted list IS the oracle (same ≥40-shingle
+    // band-match argument as dedup_minhash_planted: miss prob < 1e-12)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSigs = graft.textops.Dedup.minhashSigsDf(
+        docs, "doc_id", "text")
+      val newDocs = docs
+        .filter(col("doc_id") % 10 === 0 && col("n_chars") >= 250)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        .withColumn("text", concat(col("text"), lit(" nearduplicate")))
+      graft.textops.Dedup.incrementalMinhash(
+        newDocs, "doc_id", "text", corpusSigs, 0.5)
+        .filter(col("corpus_id") === col("new_id") - 10000000L)
+        .select(col("new_id"), col("corpus_id"))
+    }),
     "dedup_simhash_planted" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val copies = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
@@ -871,6 +887,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_minhash_sig_parity" ->
       "SELECT doc_id AS id, CAST(TRUE AS BOOLEAN) AS sigs_equal FROM documents",
+    "dedup_incremental" ->
+      """SELECT doc_id + 10000000 AS new_id, doc_id AS corpus_id
+        |FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 250""".stripMargin,
     "sim_lsh_planted" ->
       """SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id
         |FROM embeddings WHERE vec_id < 20""".stripMargin,

@@ -240,6 +240,81 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL near-dup: a new crawl against an EXISTING corpus
+    * signature table ((id, sig, shingles) — the [[minhashSigsDf]] layout,
+    * computed once per corpus snapshot and stored; recomputing corpus
+    * signatures per crawl is exactly the cost this function avoids at
+    * 100 TB). New-side signatures are computed fresh (the new crawl is
+    * the small side), both sides are banded, the CORPUS side is capped
+    * per bucket with the same both-ends BoundedEnds guard as
+    * [[cappedPairs]] (an unbounded boilerplate bucket on the corpus side
+    * would explode the join), and candidates are verified by exact
+    * shingle Jaccard. Returns (new_id, corpus_id, est_sim, jaccard) with
+    * jaccard ≥ threshold. Truncation is observable via the
+    * `graft.dedup.incr_buckets` observe metrics (listener channel — the
+    * result is eagerly materialized like [[minhashLsh]]'s).
+    */
+  def incrementalMinhash(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    def banded(sigs: DataFrame, out: String): DataFrame =
+      sigs.select($"id", $"sig").as[(Long, Array[Long])]
+        .flatMap { case (id, sig) =>
+          (0 until Bands).map { b =>
+            var h = 0xcafe_babeL ^ b.toLong
+            var r = 0
+            while (r < RowsPerBand) {
+              h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+            }
+            (b, h, id)
+          }
+        }.toDF("band", "bucket", out)
+    val newSigs = minhashSigsDf(newDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpusBuckets = banded(corpusSigs, "id")
+        .groupBy($"band", $"bucket")
+        .agg(graft.functions.BoundedEnds
+          .bounded_ends($"id", MaxBucket / 2).as("be"))
+        .select($"band", $"bucket", $"be.n_total".as("n_total"),
+          $"be.ids".as("corpus_ids"))
+        .observe("graft.dedup.incr_buckets",
+          sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))
+            .as("truncated_buckets"),
+          sum(greatest($"n_total" - MaxBucket, lit(0L))).as("dropped_ids"),
+          max($"n_total").as("max_bucket_size"))
+      val pairs = banded(newSigs, "new_id")
+        .join(corpusBuckets, Seq("band", "bucket"))
+        .select($"new_id", explode($"corpus_ids").as("corpus_id"))
+        .filter($"new_id" =!= $"corpus_id")
+        .distinct()
+      val nj = newSigs.select($"id".as("new_id"), $"shingles".as("sh_n"),
+        $"sig".as("sig_n"))
+      val cj = corpusSigs.select($"id".as("corpus_id"),
+        $"shingles".as("sh_c"), $"sig".as("sig_c"))
+      pairs.join(nj, "new_id").join(cj, "corpus_id")
+        .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+        .map { case (cid, nid, shn, sign, shc, sigc) =>
+          var eq = 0
+          var i = 0
+          while (i < NumHashes) { if (sign(i) == sigc(i)) eq += 1; i += 1 }
+          (nid, cid, eq.toDouble / NumHashes, exactJaccard(shn, shc))
+        }
+        .toDF("new_id", "corpus_id", "est_sim", "jaccard")
+        .filter($"jaccard" >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      newSigs.unpersist(false)
+      ()
+    }
+  }
+
   /** Similarity-graph edges by RARE-FEATURE linking: two documents are
     * linked when they share at least `minShared` shingles that occur in
     * EXACTLY two documents corpus-wide (the df=2 inverted-index trick).

@@ -145,6 +145,27 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incrementalMinhash: new crawl finds its corpus near-dups; fresh docs don't") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusSigs = Dedup.minhashSigsDf(docs, "doc_id", "text")
+    val twins = docs.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 250)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text", concat(col("text"), lit(" nearduplicate")))
+      .select("doc_id", "text")
+    val fresh = Seq((20000000L,
+      "completely unrelated fresh words matching nothing in that corpus body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(
+      twins.unionByName(fresh), "doc_id", "text", corpusSigs, 0.5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 250)
+      .select("doc_id").as[Long].collect()
+    assert(planted.nonEmpty)
+    planted.foreach(i => assert(pairs.contains((i + 10000000L, i)), s"doc $i"))
+    assert(!pairs.exists(_._1 == 20000000L), "fresh doc matched the corpus")
+  }
+
   test("bucket cap keeps BOTH ends: extreme-id pair survives a truncated bucket") {
     import spark.implicits._
     // 80 identical docs, ids 0..78 plus one far outlier id 10_000_050: a
