@@ -30,6 +30,17 @@ object SparkEntry {
   private val plantedDupLine = "this line repeats"
   private val plantedDupCount = 6
 
+  /** Planted messy-URL variants for tq_url_canon (single source of truth
+    * for the Spark query and the generated oracle): A and D canonicalize
+    * to the same url (case/www/tracking/fragment/slash), as do B and C
+    * (tracking params stripped in both positions).
+    */
+  private val plantedUrls =
+    " read https://WWW.Example.com/Article/?utm_source=feed#top" +
+      " or http://news.site.org/story?id=7&utm_campaign=x&ref=home" +
+      " or http://news.site.org/story?id=7" +
+      " or https://example.com/Article"
+
   /** Planted cross-document boilerplate for the dedup_substring oracle
     * (15 words — with k=8 its interior windows duplicate across every
     * planted doc, so all but the first occurrence get removed).
@@ -462,6 +473,22 @@ object SparkEntry {
       val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
       graft.textops.TextOps.urlBlocklistVerdict(
         aug, "doc_id", "text", urlBlocklist.toDF("domain"))
+    }),
+    // ---- URL canonicalization (normalize-before-URL-dedup) ----
+    "tq_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(plantedUrls)))
+      val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
+      aug
+        .select(explode(call_function("regexp_extract_all",
+          coalesce(col("text"), lit("")),
+          lit(graft.textops.TextOps.urlFullPattern), lit(0))).as("raw"))
+        .select(graft.textops.TextOps.urlCanonicalize(col("raw"))
+          .as("canon_url"), col("raw"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("raw")).as("n_raw_forms"))
     }),
     // ---- composed C4/Gopher-style filter pipeline (one scan, all signals) --
     // links planted on doc_id%7, duplicate lines on doc_id%11, so every
@@ -1131,6 +1158,22 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSampleSql("documents"),
     "tq_chunk_docs" ->
       graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
+    "tq_url_canon" -> {
+      val pat = graft.textops.TextOps.urlFullPattern.replace("'", "''")
+      val canon = graft.textops.TextOps.urlCanonicalizeSql("raw")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+         |  UNION ALL
+         |  SELECT doc_id, text || '${plantedUrls.replace("'", "''")}'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |raws AS (
+         |  SELECT unnest(regexp_extract_all(coalesce(text, ''), '$pat'))
+         |    AS raw
+         |  FROM aug)
+         |SELECT $canon AS canon_url, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms
+         |FROM raws GROUP BY 1""".stripMargin
+    },
     "tq_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -437,6 +437,60 @@ object TextOps {
     call_function("regexp_extract_all", coalesce(text, lit("")),
       lit(urlHostPattern), lit(1))
 
+  /** Full-URL pattern (group 0 = the whole link), RE2/Java-compatible. */
+  val urlFullPattern = "https?://[A-Za-z0-9.-]+[^ \\t\\n<>\"']*"
+
+  /** Ordered URL-canonicalization regex steps — the SINGLE SOURCE OF
+    * TRUTH shared by [[urlCanonicalize]] (Column form) and
+    * [[urlCanonicalizeSql]] (DuckDB mirror). Patterns stay in the
+    * Java∩RE2 subset and every replacement is a literal (no backrefs —
+    * Spark and DuckDB escape them differently): fragment, tracking
+    * parameters (&-delimited, leading-with-successor, lone), trailing
+    * slash. The scheme+host lowercase / www-strip are structural steps
+    * applied after (see the functions).
+    */
+  private val trackingParams = "(?:utm_[A-Za-z0-9_]+|gclid|fbclid|ref)"
+  val urlCanonSteps: Seq[(String, String)] = Seq(
+    "#.*$" -> "",
+    s"&$trackingParams=[^&#]*" -> "",
+    s"\\?$trackingParams=[^&#]*&" -> "?",
+    s"\\?$trackingParams=[^&#]*$$" -> "",
+    "/$" -> "")
+
+  /** Canonical URL form (the normalize-before-URL-dedup step of a C4/
+    * RefinedWeb-style pipeline): strip fragment and tracking parameters,
+    * lowercase ONLY the scheme+host (paths are case-sensitive), drop the
+    * `www.` host prefix, strip one trailing slash. Pure row-local
+    * expression chain — runs inside the scan, zero shuffle, and the
+    * generated DuckDB mirror applies the identical step list.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val stripped = urlCanonSteps.foldLeft(url) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val lowered = concat(
+      lower(regexp_extract(stripped, "^(https?://[^/?#]*)", 1)),
+      regexp_replace(stripped, "^https?://[^/?#]*", ""))
+    // plain substring replace (backref-free contract) — identical
+    // all-occurrence semantics in both engines, and '://www.' cannot
+    // legally recur past the scheme
+    org.apache.spark.sql.functions.replace(
+      lowered, lit("://www."), lit("://"))
+  }
+
+  /** DuckDB mirror of [[urlCanonicalize]] applied to SQL expression
+    * `expr0` (DuckDB regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-all semantics).
+    */
+  def urlCanonicalizeSql(expr0: String): String = {
+    val stripped = urlCanonSteps.foldLeft(expr0) { case (e, (p, r)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '$r', 'g')"
+    }
+    s"""replace(lower(regexp_extract($stripped, '^(https?://[^/?#]*)', 1))
+       | || regexp_replace($stripped, '^https?://[^/?#]*', '', 'g'),
+       | '://www.', '://')""".stripMargin.replace("\n", "")
+  }
+
   /** Per-document URL counts + keep/drop verdict against a domain
     * blocklist. The blocklist is a DataFrame, not a literal: production
     * blocklists (RefinedWeb-style) run to millions of domains, so the

@@ -375,6 +375,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) == "drop:blocklist")
   }
 
+  test("urlCanonicalize: fragment/tracking/case/www/slash normalization") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://WWW.Example.com/Article/?utm_source=feed#top" ->
+        "https://example.com/Article",
+      "https://example.com/Article" -> "https://example.com/Article",
+      "http://news.site.org/story?id=7&utm_campaign=x&ref=home" ->
+        "http://news.site.org/story?id=7",
+      "http://news.site.org/story?id=7" -> "http://news.site.org/story?id=7",
+      "https://a.com/x?utm_source=1&utm_medium=2" -> "https://a.com/x",
+      "https://a.com/Path/Is/CaseSensitive" ->
+        "https://a.com/Path/Is/CaseSensitive",
+      "http://b.com/p?keep=1&fbclid=abc&also=2" ->
+        "http://b.com/p?keep=1&also=2")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.urlCanonicalize(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canon($in) = ${got(in)}")
+    }
+  }
+
   test("urlBlocklistVerdict: hosts extracted, dup links counted, keep/drop") {
     import spark.implicits._
     val docs = Seq(
