@@ -133,4 +133,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkDocuments equals a sequential reference for random shapes/configs") {
+    // pure-Scala reference of the chunking contract, checked against the
+    // distributed Column implementation over random doc lengths around the
+    // window boundaries, for several (chunk, overlap) configurations
+    def reference(nWords: Int, chunk: Int, overlap: Int): Seq[(Int, Int, String)] = {
+      if (nWords == 0) return Seq.empty
+      val words = (1 to nWords).map(i => s"w$i")
+      val step = chunk - overlap
+      val k = if (nWords <= chunk) 1 else (nWords - chunk + step - 1) / step + 1
+      (0 until k).map { i =>
+        val slice = words.slice(i * step, i * step + chunk)
+        (i, slice.length, slice.mkString(" "))
+      }
+    }
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    Seq((16, 4), (7, 0), (5, 4)).foreach { case (chunk, overlap) =>
+      val sizes = Seq(0, 1, chunk - 1, chunk, chunk + 1, 2 * chunk,
+        2 * chunk + 1) ++ Seq.fill(40)(rnd.nextInt(90))
+      val docs = sizes.zipWithIndex
+        .map { case (n, id) => (id.toLong, (1 to n).map(i => s"w$i").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.textops.TextOps
+        .chunkDocuments(docs, "doc_id", "text", chunk, overlap)
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2).toInt, r.getString(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      sizes.zipWithIndex.foreach { case (n, id) =>
+        val want = reference(n, chunk, overlap)
+        val have = got.getOrElse(id.toLong, Seq.empty)
+        assert(have == want, s"config ($chunk,$overlap) nWords=$n: $have vs $want")
+      }
+    }
+  }
 }
