@@ -549,6 +549,11 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSample(
         t(s, dir, "documents"), "doc_id", "source")
     }),
+    // ---- count-based fluency score (integer-exact perplexity stand-in) ----
+    "tq_fluency_score" -> ((s, dir) => {
+      graft.textops.TextOps.ngramLogFreqScore(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
     // ---- long-document chunking (fixed 64-token windows, 16 overlap) ----
     "tq_chunk_docs" -> ((s, dir) => {
       graft.textops.TextOps.chunkDocuments(
@@ -1158,6 +1163,8 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSampleSql("documents"),
     "tq_chunk_docs" ->
       graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
+    "tq_fluency_score" ->
+      graft.textops.TextOps.ngramLogFreqScoreSql("documents"),
     "tq_url_canon" -> {
       val pat = graft.textops.TextOps.urlFullPattern.replace("'", "''")
       val canon = graft.textops.TextOps.urlCanonicalizeSql("raw")

@@ -824,6 +824,70 @@ object TextOps {
        |        x -> len(x) > 0)) AS BIGINT) AS n_tokens
        |    FROM $table))""".stripMargin
 
+  // ---- statistical fluency score (count-based perplexity stand-in) --------
+
+  /** Statistical fluency score — the count-based stand-in for a
+    * CCNet-style LM-perplexity filter, with NO float logs so the score is
+    * EXACT across engines: each adjacent word pair contributes
+    * floor(log2(c)) where c is the pair's corpus-wide occurrence count
+    * (floor-log2 = binary-digit-count − 1, pure integer in both engines).
+    * Text built from common collocations scores high per bigram; rare-
+    * junk text scores near zero — rank by sum_log2c / n_bigrams to
+    * filter. Trained on the scored corpus itself (the CCNet trick of a
+    * reference corpus is the same join against an external counts table).
+    *
+    * Scale shape: narrow bigram explode; ONE groupBy(bigram) whose
+    * map-side partial aggregation absorbs the Zipf head (the hottest
+    * bigrams combine earliest); one shuffle join back on bigram (AQE
+    * skew-join handles residual head keys); final partial-aggregated
+    * groupBy(doc). Output (doc_id, n_bigrams, sum_log2c) — zero row
+    * values for docs with fewer than two tokens.
+    */
+  def ngramLogFreqScore(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " +", -1),
+        w => length(w) > 0).as("w"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val scored = bigrams.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c"))) - 1).cast("long").as("sum_log2c"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "sum_log2c"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_log2c"))
+  }
+
+  /** DuckDB mirror of [[ngramLogFreqScore]] over a (doc_id, text) table. */
+  def ngramLogFreqScoreSql(table: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |      x -> len(x) > 0) AS w
+       |  FROM $table),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |    THEN list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |  FROM base),
+       |c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(length(bin(c.c)) - 1) AS BIGINT) AS sum_log2c
+       |  FROM bg JOIN c USING (bg) GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(s.sum_log2c, 0) AS sum_log2c
+       |FROM base b LEFT JOIN scored s ON s.doc_id = b.doc_id""".stripMargin
+
   // ---- long-document chunking (fixed token windows with overlap) ----------
 
   /** Fixed-token-window chunking (the long-document splitter feeding

@@ -375,6 +375,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) == "drop:blocklist")
   }
 
+  test("ngramLogFreqScore: common collocations score high, junk near zero") {
+    import spark.implicits._
+    // "the cat sat" repeated 8x → its bigrams have corpus count ≥ 8
+    // (floor log2 ≥ 3 each); junk doc of unique words → every bigram
+    // count 1 → contributes 0; one-word and empty docs → zero rows kept
+    val fluent = (1L to 8L).map(i => (i, "the cat sat on the mat"))
+    val junk = Seq((100L, "qz7 xv9 kk3 mm1 zz5"))
+    val tiny = Seq((200L, "solo"), (201L, ""))
+    val out = TextOps.ngramLogFreqScore(
+      (fluent ++ junk ++ tiny).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == 5) // 6 words → 5 bigrams
+    assert(out(1L)._2 == 5 * 3) // every bigram count 8 → floor log2 = 3
+    assert(out(100L) == ((4L, 0L))) // all-unique junk: 4 bigrams, score 0
+    assert(out(200L) == ((0L, 0L)) && out(201L) == ((0L, 0L)))
+    assert(out.size == 11)
+  }
+
   test("urlCanonicalize: fragment/tracking/case/www/slash normalization") {
     import spark.implicits._
     val cases = Seq(
