@@ -30,8 +30,9 @@ object PlanCheck {
       // ExactSubstr dedup: gram groupBy must partial-aggregate (no window)
       "dedup_substring",
       // round-4: sequence packing (ONE shuffle on shard, running-frame
-      // window), domain mix (tiny histogram broadcast back, narrow filter)
-      "tq_pack_sequences", "tq_domain_mix")
+      // window), domain mix (tiny histogram broadcast back, narrow
+      // filter), fluency score (partial-agg bigram count + join back)
+      "tq_pack_sequences", "tq_domain_mix", "tq_fluency_score")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
