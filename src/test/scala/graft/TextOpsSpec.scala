@@ -375,6 +375,63 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) == "drop:blocklist")
   }
 
+  test("qualityFilterPipelineSql guards empty lists (no `IN ()` syntax error)") {
+    val sqlBoth = TextOps.qualityFilterPipelineSql(
+      "documents", blockedDomains = Nil, allowedLangs = Nil)
+    assert(!sqlBoth.contains("IN ()"), "empty IN-list leaked into the SQL")
+    assert(sqlBoth.contains("CAST(0 AS BIGINT)")) // empty blocklist → 0
+    assert(sqlBoth.contains("WHEN TRUE THEN 'drop:lang'")) // no langs → drop all
+    // and the Spark side agrees: empty lists behave, every doc drop:lang
+    import org.apache.spark.sql.SparkSession
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    val out = TextOps.qualityFilterPipeline(
+      Seq((1L, "some text here")).toDF("doc_id", "text"),
+      "doc_id", "text", blockedDomains = Nil, allowedLangs = Nil)
+      .collect()
+    assert(out.length == 1 && out.head.getString(8) == "drop:lang")
+    assert(out.head.getLong(7) == 0L) // n_blocked
+  }
+
+  test("incrementalMinhash truncation is observable on oversized corpus buckets") {
+    import spark.implicits._
+    // 60 identical corpus docs overflow MaxBucket=50; the new doc must
+    // still find capped-end partners and the drop must surface on the
+    // listener channel (the result is eagerly materialized)
+    val corpus = (0L until 60L)
+      .map(i => (i, "the same boilerplate text repeated again and again here"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSigsDf(corpus, "doc_id", "text")
+    val newDoc = Seq(
+      (500L, "the same boilerplate text repeated again and again here"))
+      .toDF("doc_id", "text")
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("graft.dedup.incr_buckets")
+          .foreach(r => captured = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.incrementalMinhash(
+        newDoc, "doc_id", "text", corpusSigs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // both-ends cap: partners are the 25 smallest + 25 largest corpus ids
+      val kept = ((0L until 25L) ++ (35L until 60L)).map(i => (500L, i)).toSet
+      assert(pairs == kept, s"got ${pairs.size} pairs")
+      val deadline = System.nanoTime() + 10000000000L
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = captured.getOrElse(fail("incr metrics never surfaced"))
+      assert(m.getAs[Long]("truncated_buckets") == Dedup.Bands.toLong)
+      assert(m.getAs[Long]("max_bucket_size") == 60L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ngramLogFreqScore: common collocations score high, junk near zero") {
     import spark.implicits._
     // "the cat sat" repeated 8x → its bigrams have corpus count ≥ 8
