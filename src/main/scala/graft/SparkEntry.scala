@@ -37,7 +37,7 @@ object SparkEntry {
     */
   private val plantedUrls =
     " read https://WWW.Example.com/Article/?utm_source=feed#top" +
-      " or http://news.site.org/story?id=7&utm_campaign=x&ref=home" +
+      " or http://news.site.org/story?id=7&utm_campaign=x&fbclid=zz" +
       " or http://news.site.org/story?id=7" +
       " or https://example.com/Article"
 
@@ -375,7 +375,12 @@ object SparkEntry {
     }),
     // incremental crawl-vs-corpus near-dup: new docs are planted twins of
     // the stored corpus; the planted list IS the oracle (same ≥40-shingle
-    // band-match argument as dedup_minhash_planted: miss prob < 1e-12)
+    // band-match argument as dedup_minhash_planted: miss prob < 1e-12).
+    // The argument additionally relies on the sf corpora being duplicate-
+    // free by construction (TESTDATA.md): a >MaxBucket cluster of
+    // IDENTICAL corpus docs containing a planted partner mid-range would
+    // cut that partner from every band's capped bucket at once — the
+    // documented cap tradeoff, not an engine defect
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpusSigs = graft.textops.Dedup.minhashSigsDf(

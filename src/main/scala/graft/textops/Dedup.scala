@@ -78,6 +78,52 @@ object Dedup {
     if (union == 0) 1.0 else sa.intersect(sb).size.toDouble / union
   }
 
+  /** Band keys for a (id, sig[128]) signature table — THE single banding
+    * definition (seed 0xcafebabe ^ band, RowsPerBand sig values mixed per
+    * band) shared by [[minhashLsh]], [[minhashBucketStats]] and
+    * [[incrementalMinhash]]: a seed or band-count drift between producers
+    * would silently empty every bucket join, so there is exactly one body.
+    */
+  private[textops] def bandedSigs(
+      sigs: DataFrame, outCol: String): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.select($"id", $"sig").as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until Bands).map { b =>
+          var h = 0xcafe_babeL ^ b.toLong
+          var r = 0
+          while (r < RowsPerBand) {
+            h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
+          }
+          (b, h, id)
+        }
+      }.toDF("band", "bucket", outCol)
+  }
+
+  /** Capped per-bucket id lists — the BoundedEnds + observe stage shared
+    * by [[cappedPairs]] (same-table pairing) and [[incrementalMinhash]]
+    * (cross-table join): (band, bucket, n_total, ids) with `ids` the
+    * MaxBucket/2 smallest + largest members and the truncation metrics on
+    * the named observe node.
+    */
+  private[textops] def cappedBuckets(
+      banded: DataFrame, metricName: String): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupBy($"band", $"bucket")
+      .agg(graft.functions.BoundedEnds
+        .bounded_ends($"id", MaxBucket / 2).as("be"))
+      .select($"band", $"bucket", $"be.n_total".as("n_total"),
+        $"be.ids".as("ids"))
+      .observe(metricName,
+        sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))
+          .as("truncated_buckets"),
+        sum(greatest($"n_total" - MaxBucket, lit(0L))).as("dropped_ids"),
+        max($"n_total").as("max_bucket_size"))
+  }
+
   /** Per-bucket candidate generation with the MaxBucket cap, shared by the
     * MinHash, SimHash and embedding-LSH paths. Input (band, bucket, id);
     * output distinct (id_a, id_b) with id_a < id_b.
@@ -112,18 +158,8 @@ object Dedup {
     // partial merge — a collect_list here materializes the FULL bucket in
     // the agg buffer first, which OOMs on a pathological boilerplate bucket
     // (10^8 identical docs) even though only 50 ids survive the cap
-    banded
-      .groupBy($"band", $"bucket")
-      .agg(graft.functions.BoundedEnds
-        .bounded_ends($"id", MaxBucket / 2).as("be"))
-      .select($"band", $"bucket", $"be.n_total".as("n_total"),
-        $"be.ids".as("ids"))
+    cappedBuckets(banded, metricName)
       .filter(size($"ids") > 1)
-      .observe(metricName,
-        sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))
-          .as("truncated_buckets"),
-        sum(greatest($"n_total" - MaxBucket, lit(0L))).as("dropped_ids"),
-        max($"n_total").as("max_bucket_size"))
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           | transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"""
@@ -141,19 +177,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sig = minhashSignature(shingles(text))
-        (0 until Bands).map { b =>
-          var h = 0xcafe_babeL ^ b.toLong
-          var r = 0
-          while (r < RowsPerBand) {
-            h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
-          }
-          (b, h, id)
-        }
-      }.toDF("band", "bucket", "id")
+    bandedSigs(minhashSigsDf(docs, idCol, textCol), "id")
       .groupBy($"band", $"bucket")
       .agg(count(lit(1)).as("n_total"))
       .withColumn("truncated", $"n_total" > MaxBucket)
@@ -203,20 +227,8 @@ object Dedup {
     val sigs = minhashSigsDf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // banding: (band, hash(sig slice)) buckets
-      val banded = sigs.as[(Long, Array[Long], Array[Long])]
-        .flatMap { case (id, sig, _) =>
-          (0 until Bands).map { b =>
-            var h = 0xcafe_babeL ^ b.toLong
-            var r = 0
-            while (r < RowsPerBand) {
-              h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
-            }
-            (b, h, id)
-          }
-        }.toDF("band", "bucket", "id")
-
-      val pairs = cappedPairs(banded, "graft.dedup.minhash_buckets")
+      val pairs = cappedPairs(bandedSigs(sigs, "id"),
+        "graft.dedup.minhash_buckets")
 
       // verification: exact Jaccard on shingle sets
       val shA = sigs.select($"id".as("id_a"), $"shingles".as("sh_a"),
@@ -263,40 +275,28 @@ object Dedup {
   ): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    def banded(sigs: DataFrame, out: String): DataFrame =
-      sigs.select($"id", $"sig").as[(Long, Array[Long])]
-        .flatMap { case (id, sig) =>
-          (0 until Bands).map { b =>
-            var h = 0xcafe_babeL ^ b.toLong
-            var r = 0
-            while (r < RowsPerBand) {
-              h = Hashing.mix(h, sig(b * RowsPerBand + r)); r += 1
-            }
-            (b, h, id)
-          }
-        }.toDF("band", "bucket", out)
     val newSigs = minhashSigsDf(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus side is consumed by banding AND the verify join — cache
+    // it for the call too (an unpersisted storage-backed table would be
+    // scanned, or a derived one recomputed, twice)
+    val cSigs = corpusSigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val corpusBuckets = banded(corpusSigs, "id")
-        .groupBy($"band", $"bucket")
-        .agg(graft.functions.BoundedEnds
-          .bounded_ends($"id", MaxBucket / 2).as("be"))
-        .select($"band", $"bucket", $"be.n_total".as("n_total"),
-          $"be.ids".as("corpus_ids"))
-        .observe("graft.dedup.incr_buckets",
-          sum(when($"n_total" > MaxBucket, 1L).otherwise(0L))
-            .as("truncated_buckets"),
-          sum(greatest($"n_total" - MaxBucket, lit(0L))).as("dropped_ids"),
-          max($"n_total").as("max_bucket_size"))
-      val pairs = banded(newSigs, "new_id")
+      val corpusBuckets = cappedBuckets(bandedSigs(cSigs, "id"),
+        "graft.dedup.incr_buckets")
+        .withColumnRenamed("ids", "corpus_ids")
+      // NOTE on id namespaces: new and corpus ids are INDEPENDENT — a pair
+      // with new_id == corpus_id is reported like any other (a stable-id
+      // re-crawl IS a duplicate of its stored version; filtering equal ids
+      // here would silently pass exactly those duplicates through)
+      val pairs = bandedSigs(newSigs, "new_id")
         .join(corpusBuckets, Seq("band", "bucket"))
         .select($"new_id", explode($"corpus_ids").as("corpus_id"))
-        .filter($"new_id" =!= $"corpus_id")
         .distinct()
       val nj = newSigs.select($"id".as("new_id"), $"shingles".as("sh_n"),
         $"sig".as("sig_n"))
-      val cj = corpusSigs.select($"id".as("corpus_id"),
+      val cj = cSigs.select($"id".as("corpus_id"),
         $"shingles".as("sh_c"), $"sig".as("sig_c"))
       pairs.join(nj, "new_id").join(cj, "corpus_id")
         .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
@@ -311,6 +311,7 @@ object Dedup {
         .localCheckpoint(true)
     } finally {
       newSigs.unpersist(false)
+      cSigs.unpersist(false)
       ()
     }
   }

@@ -437,8 +437,16 @@ object TextOps {
     call_function("regexp_extract_all", coalesce(text, lit("")),
       lit(urlHostPattern), lit(1))
 
-  /** Full-URL pattern (group 0 = the whole link), RE2/Java-compatible. */
-  val urlFullPattern = "https?://[A-Za-z0-9.-]+[^ \\t\\n<>\"']*"
+  /** Full-URL pattern (group 0 = the whole link), RE2/Java-compatible.
+    * The tail class excludes \r and the Unicode line separators as well
+    * as \n: Java and RE2 disagree on `$` and `.` around those characters
+    * (Java's `$` matches before a final line terminator incl. \r/U+0085/
+    * U+2028/U+2029; RE2's matches only at end of text), so letting them
+    * into an extracted URL would make the two canonicalization engines
+    * diverge on CRLF text.
+    */
+  val urlFullPattern =
+    "https?://[A-Za-z0-9.-]+[^ \\t\\n\\r\u0085\u2028\u2029<>\"']*"
 
   /** Ordered URL-canonicalization regex steps — the SINGLE SOURCE OF
     * TRUTH shared by [[urlCanonicalize]] (Column form) and
@@ -449,7 +457,11 @@ object TextOps {
     * slash. The scheme+host lowercase / www-strip are structural steps
     * applied after (see the functions).
     */
-  private val trackingParams = "(?:utm_[A-Za-z0-9_]+|gclid|fbclid|ref)"
+  // bare 'ref' is deliberately NOT stripped: it is a legitimate routing
+  // parameter on many sites (code-hosting branch refs, forum referers) —
+  // stripping it would merge genuinely distinct pages; utm_*/gclid/fbclid
+  // are unambiguous trackers
+  private val trackingParams = "(?:utm_[A-Za-z0-9_]+|gclid|fbclid)"
   val urlCanonSteps: Seq[(String, String)] = Seq(
     "#.*$" -> "",
     s"&$trackingParams=[^&#]*" -> "",
@@ -468,14 +480,18 @@ object TextOps {
     val stripped = urlCanonSteps.foldLeft(url) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     }
-    val lowered = concat(
-      lower(regexp_extract(stripped, "^(https?://[^/?#]*)", 1)),
+    // the www strip runs on the EXTRACTED scheme+host only — applied to
+    // the whole string it would also rewrite URLs embedded in query-string
+    // values (redirect/share links: ...?url=https://www.x.com/...). Plain
+    // substring replace keeps the backref-free contract (replacement
+    // backreference syntax differs between engines); the degenerate host
+    // 'www.com' does collapse to 'com' — the inherent edge of any www
+    // strip, deterministic in both engines.
+    concat(
+      org.apache.spark.sql.functions.replace(
+        lower(regexp_extract(stripped, "^(https?://[^/?#]*)", 1)),
+        lit("://www."), lit("://")),
       regexp_replace(stripped, "^https?://[^/?#]*", ""))
-    // plain substring replace (backref-free contract) — identical
-    // all-occurrence semantics in both engines, and '://www.' cannot
-    // legally recur past the scheme
-    org.apache.spark.sql.functions.replace(
-      lowered, lit("://www."), lit("://"))
   }
 
   /** DuckDB mirror of [[urlCanonicalize]] applied to SQL expression
@@ -486,9 +502,10 @@ object TextOps {
     val stripped = urlCanonSteps.foldLeft(expr0) { case (e, (p, r)) =>
       s"regexp_replace($e, '${p.replace("'", "''")}', '$r', 'g')"
     }
-    s"""replace(lower(regexp_extract($stripped, '^(https?://[^/?#]*)', 1))
-       | || regexp_replace($stripped, '^https?://[^/?#]*', '', 'g'),
-       | '://www.', '://')""".stripMargin.replace("\n", "")
+    s"""replace(lower(regexp_extract($stripped, '^(https?://[^/?#]*)', 1)),
+       | '://www.', '://')
+       | || regexp_replace($stripped, '^https?://[^/?#]*', '', 'g')"""
+      .stripMargin.replace("\n", "")
   }
 
   /** Per-document URL counts + keep/drop verdict against a domain
@@ -842,6 +859,14 @@ object TextOps {
     * skew-join handles residual head keys); final partial-aggregated
     * groupBy(doc). Output (doc_id, n_bigrams, sum_log2c) — zero row
     * values for docs with fewer than two tokens.
+    *
+    * The bigram projection feeds BOTH the counts aggregate and the
+    * scoring join (plus a pruned doc_id-only scan for short docs): at
+    * 100 TB persist/checkpoint the docs projection before calling, or
+    * accept one tokenize recompute — the same caller-owned-cache contract
+    * as [[Dedup.exactSubstringDedup]] (the per-doc output here is too
+    * large to eagerly materialize the way minhashLsh's small pair list
+    * is).
     */
   def ngramLogFreqScore(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -930,6 +955,8 @@ object TextOps {
   /** DuckDB mirror of [[chunkDocuments]] over a (doc_id, text) table. */
   def chunkDocumentsSql(
       table: String, chunkTokens: Int, overlapTokens: Int): String = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      "chunkDocumentsSql requires chunkTokens > overlapTokens >= 0")
     val step = chunkTokens - overlapTokens
     s"""SELECT doc_id, CAST(c.i AS INT) AS chunk_ix,
        |  CAST(len(w[c.i * $step + 1 : c.i * $step + $chunkTokens]) AS BIGINT)

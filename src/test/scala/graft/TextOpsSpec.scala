@@ -456,14 +456,25 @@ class TextOpsSpec extends AnyFunSuite {
       "https://WWW.Example.com/Article/?utm_source=feed#top" ->
         "https://example.com/Article",
       "https://example.com/Article" -> "https://example.com/Article",
-      "http://news.site.org/story?id=7&utm_campaign=x&ref=home" ->
+      "http://news.site.org/story?id=7&utm_campaign=x&fbclid=z" ->
         "http://news.site.org/story?id=7",
+      // bare ref is a legitimate routing param (branch refs, referers) —
+      // NOT stripped, unlike the unambiguous trackers
+      "https://code.host/org/repo/blob/f?ref=main" ->
+        "https://code.host/org/repo/blob/f?ref=main",
+      // redirect links: the www strip must not rewrite URLs embedded in
+      // query-string VALUES (host-only strip)
+      "https://t.co/r?url=https://www.example.com/x" ->
+        "https://t.co/r?url=https://www.example.com/x",
       "http://news.site.org/story?id=7" -> "http://news.site.org/story?id=7",
       "https://a.com/x?utm_source=1&utm_medium=2" -> "https://a.com/x",
       "https://a.com/Path/Is/CaseSensitive" ->
         "https://a.com/Path/Is/CaseSensitive",
       "http://b.com/p?keep=1&fbclid=abc&also=2" ->
-        "http://b.com/p?keep=1&also=2")
+        "http://b.com/p?keep=1&also=2",
+      // CRLF text: \r is excluded from extraction, so no line-terminator
+      // char can reach the canonicalizer where Java/RE2 anchors diverge
+      "https://a.com/x/" -> "https://a.com/x")
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), TextOps.urlCanonicalize(col("u")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
