@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *     JVMs) — separate executor processes, real shuffle/RPC paths. The
   *     application jar is zipped from the compiled classes on the fly, so
   *     this works however Bench itself is launched (sbt or spark-submit).
-  *     SIX pairs spread across the whole bench run with alternating visit
+  *     EIGHT pairs spread across the whole bench run with alternating visit
   *     order, each level measured as ONE LONG round (60k pages) after a
   *     substantial JIT warm-up — each Spark job carries a fixed driver
   *     cost F ≈ 0.66 s (planning + setup, page-count-independent), and
@@ -145,9 +145,9 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // ---- (1) REAL multi-executor N→4N pairs, SIX of them SPREAD across
-    // the whole bench (before the queries, after them, between/after the
-    // thread passes): the host's per-core capacity drifts in multi-minute
+    // ---- (1) REAL multi-executor N→4N pairs, EIGHT of them SPREAD across
+    // the whole bench (before/inside/after the query suite and between/
+    // after the thread passes): the host's per-core capacity drifts in multi-minute
     // phases, and the two runs of a pair are tens of seconds apart — a
     // throttled N (denominator) run INFLATES the ratio, so a raw max over
     // pairs is biased upward. Hardening vs the round-3 protocol (whose
@@ -155,8 +155,8 @@ object Bench {
     // the bar): (a) each level is ONE LONG measured round (see the
     // ScaleProbe header: the fixed per-job driver cost F deflates
     // short-round ratios structurally — 0.72 raw at 3×15k pages vs 0.89
-    // at 45k in the same window); (b) SIX samples give the median a
-    // breakdown point of 2 bad pairs regardless of where they land;
+    // at 45k in the same window); (b) EIGHT samples give the median a
+    // breakdown point of 3 bad pairs regardless of where they land;
     // (c) each child run is BRACKETED by pure-CPU capacity probes (before
     // AND after, averaged) at the same busy-core count, so the
     // normalization sees a throttle phase that starts mid-child. The
@@ -205,6 +205,12 @@ object Bench {
         val norm = math.min(raw / (perCore4N / perCoreN), 1.0)
         results += s"scaling_pair_real_raw_$i" -> raw
         results += s"scaling_pair_real_$i" -> norm
+        // per-leg diagnostics: make a weak pair attributable to its slow
+        // leg (and to whether the bracketed control saw the phase)
+        results += s"pair_${i}_tps_n" -> tpsN
+        results += s"pair_${i}_tps_4n" -> tps4N
+        results += s"pair_${i}_ctl_n" -> perCoreN
+        results += s"pair_${i}_ctl_4n" -> perCore4N
         norm
       }
     }
@@ -235,16 +241,20 @@ object Bench {
             errors += name
         }
       }
-    runQueries(qseq.take(qseq.size / 2))
-    // pair 2: MID query suite — the parent session idles while the
-    // spark-submit children run, so this is a distinct host-phase slot
-    // (six pairs, six slots, none back-to-back: a single multi-minute
-    // throttle phase cannot cover two pairs)
-    runPair()
-    runQueries(qseq.drop(qseq.size / 2))
+    // pairs 2-3 sit at the third-points of the query suite — the parent
+    // session idles while the spark-submit children run, so each is a
+    // distinct host-phase slot (EIGHT pairs total; only pairs 7/8 are
+    // within ~75 s of each other, so no single multi-minute throttle
+    // phase can cover more than two pairs, and the median of eight
+    // tolerates three bad samples)
+    runQueries(qseq.take(qseq.size / 3))
+    runPair() // pair 2
+    runQueries(qseq.slice(qseq.size / 3, 2 * qseq.size / 3))
+    runPair() // pair 3
+    runQueries(qseq.drop(2 * qseq.size / 3))
     spark.stop()
 
-    runPair() // pair 3: after the query suite
+    runPair() // pair 4: after the query suite
 
     // ---- (2) thread-scaling cross-check with per-visit host control ----
     // 32 vCPUs on this box = 16 physical cores + SMT; a real 4N-executor
@@ -322,9 +332,9 @@ object Bench {
     // interleave the remaining real-executor pairs between the thread
     // passes so the six pairs sample six distinct host phases
     threadPass(1)
-    runPair() // pair 4
-    threadPass(2)
     runPair() // pair 5
+    threadPass(2)
+    runPair() // pair 6
     threadPass(3)
     val controlEff = (bestCtrl(hi) / bestCtrl(lo)) / (hi.toDouble / lo)
     results += "cpu_control_efficiency" -> controlEff
@@ -340,7 +350,8 @@ object Bench {
     results += "scaling_efficiency_threads" -> bestNormEff
     if (bestSmtEff > 0) results += "scaling_efficiency_smt_8_32" -> bestSmtEff
 
-    runPair() // pair 6: after the final thread pass
+    runPair() // pair 7: after the final thread pass
+    runPair() // pair 8
     if (realPairs.nonEmpty) {
       // MEDIAN of the control-normalized pairs (standard definition: mean
       // of the middle two for an even count), never the max: with samples
@@ -368,7 +379,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter { case (k, v) => !k.contains("per_sec") &&
-      !k.contains("efficiency") && !k.contains("pair") && v > 0 }.values.sum
+      !k.contains("efficiency") && !k.contains("pair") &&
+      !k.startsWith("pair_") && v > 0 }.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","bench_pages":$benchPages,"triples":$triplesLast}""")
   }
