@@ -554,6 +554,36 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSample(
         t(s, dir, "documents"), "doc_id", "source")
     }),
+    // ---- the composed corpus-prep pipeline (the "user story" query):
+    // quality filter → exact keep-first dedup → chunk → pack, each stage a
+    // proven operator, oracled end-to-end by composing the generated
+    // sub-mirrors (the tq_filter_pipeline pattern, one level up) ----
+    "tq_corpus_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val verdicts = graft.textops.TextOps.qualityFilterPipeline(
+        docs, "doc_id", "text", blockedDomains = urlBlocklist,
+        allowedLangs = Seq("en"))
+      val kept1 = docs.join(
+        verdicts.filter(col("verdict") === "keep").select(col("doc_id")),
+        Seq("doc_id"))
+      val keepIds = kept1
+        .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("f"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept2 = kept1.join(keepIds, Seq("doc_id"))
+      val chunks = graft.textops.TextOps
+        .chunkDocuments(kept2, "doc_id", "text", 64, 16)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val cw = chunks.select(
+        (col("doc_id") * 1000 + col("chunk_ix")).as("cid"),
+        col("chunk_text"), col("source"))
+      graft.textops.TextOps
+        .packSequences(cw, "cid", "chunk_text", "source", 2048L)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("pack_tokens"))
+    }),
     // ---- count-based fluency score (integer-exact perplexity stand-in) ----
     "tq_fluency_score" -> ((s, dir) => {
       graft.textops.TextOps.ngramLogFreqScore(
@@ -1170,6 +1200,33 @@ object SparkEntry {
       graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
     "tq_fluency_score" ->
       graft.textops.TextOps.ngramLogFreqScoreSql("documents"),
+    // end-to-end corpus prep, composed from the SAME generated sub-mirrors
+    // the individual stages are green under (filter pipeline, fingerprint,
+    // chunking, packing) — each stage's CTE is a complete generated SELECT
+    "tq_corpus_prep" -> {
+      val verd = graft.textops.TextOps.qualityFilterPipelineSql(
+        "documents", blockedDomains = urlBlocklist, allowedLangs = Seq("en"))
+      val chunks = graft.textops.TextOps.chunkDocumentsSql("kept2", 64, 16)
+      val pack = graft.textops.TextOps.packSequencesSql("cw", 2048L)
+      s"""WITH verd AS ($verd),
+         |kept1 AS (
+         |  SELECT d.doc_id, d.text, d.source FROM documents d
+         |  JOIN verd v ON v.doc_id = d.doc_id AND v.verdict = 'keep'),
+         |fp AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+         |    FROM kept1) GROUP BY f),
+         |kept2 AS (SELECT k.* FROM kept1 k JOIN fp USING (doc_id)),
+         |chunks AS ($chunks),
+         |cw AS (
+         |  SELECT c.doc_id * 1000 + c.chunk_ix AS doc_id,
+         |    c.chunk_text AS text, k.source
+         |  FROM chunks c JOIN kept2 k ON k.doc_id = c.doc_id),
+         |pk AS ($pack)
+         |SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM pk GROUP BY shard, pack_id""".stripMargin
+    },
     "tq_url_canon" -> {
       val pat = graft.textops.TextOps.urlFullPattern.replace("'", "''")
       val canon = graft.textops.TextOps.urlCanonicalizeSql("raw")
