@@ -557,7 +557,11 @@ object SparkEntry {
     // ---- the composed corpus-prep pipeline (the "user story" query):
     // quality filter → exact keep-first dedup → chunk → pack, each stage a
     // proven operator, oracled end-to-end by composing the generated
-    // sub-mirrors (the tq_filter_pipeline pattern, one level up) ----
+    // sub-mirrors (the tq_filter_pipeline pattern, one level up).
+    // The keep-list joins plan as shuffle joins (both sides corpus-sized —
+    // correct); at 100 TB a production run persists each stage's output
+    // between steps (the snapshot pattern KgRunner uses) rather than
+    // re-deriving the lineage as this single-query demo does ----
     "tq_corpus_prep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))

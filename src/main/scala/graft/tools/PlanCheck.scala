@@ -32,7 +32,9 @@ object PlanCheck {
       // round-4: sequence packing (ONE shuffle on shard, running-frame
       // window), domain mix (tiny histogram broadcast back, narrow
       // filter), fluency score (partial-agg bigram count + join back)
-      "tq_pack_sequences", "tq_domain_mix", "tq_fluency_score")
+      "tq_pack_sequences", "tq_domain_mix", "tq_fluency_score",
+      // the composed corpus-prep pipeline (filter -> dedup -> chunk -> pack)
+      "tq_corpus_prep")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
