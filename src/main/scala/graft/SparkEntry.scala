@@ -579,8 +579,17 @@ object SparkEntry {
       val chunks = graft.textops.TextOps
         .chunkDocuments(kept2, "doc_id", "text", 64, 16)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // chunk-id packing: 20-bit shift (≥1M chunks/doc before collision —
+      // a 1000-chunk doc at 64/16 windows collided under the old ×1000
+      // packing, aliasing into the next doc's id space; VERDICT r4 #2 /
+      // ADVICE r4). The otherwise-branch raises instead of aliasing.
+      val cidShift = 1L << 20
       val cw = chunks.select(
-        (col("doc_id") * 1000 + col("chunk_ix")).as("cid"),
+        (col("doc_id") * cidShift +
+          when(col("chunk_ix") < cidShift, col("chunk_ix"))
+            .otherwise(raise_error(
+              lit("tq_corpus_prep: chunk_ix >= 2^20 overflows cid packing"))))
+          .as("cid"),
         col("chunk_text"), col("source"))
       graft.textops.TextOps
         .packSequences(cw, "cid", "chunk_text", "source", 2048L)
@@ -906,7 +915,7 @@ object SparkEntry {
         | count(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
     "tq_fingerprint" ->
-      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      s"""SELECT ${graft.textops.TextOps.fingerprintSql("text")} AS fp,
         | count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "sim_topk_bruteforce" ->
@@ -1218,12 +1227,12 @@ object SparkEntry {
          |  JOIN verd v ON v.doc_id = d.doc_id AND v.verdict = 'keep'),
          |fp AS (SELECT min(doc_id) AS doc_id FROM (
          |    SELECT doc_id,
-         |      md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+         |      ${graft.textops.TextOps.fingerprintSql("text")} AS f
          |    FROM kept1) GROUP BY f),
          |kept2 AS (SELECT k.* FROM kept1 k JOIN fp USING (doc_id)),
          |chunks AS ($chunks),
          |cw AS (
-         |  SELECT c.doc_id * 1000 + c.chunk_ix AS doc_id,
+         |  SELECT c.doc_id * 1048576 + c.chunk_ix AS doc_id,
          |    c.chunk_text AS text, k.source
          |  FROM chunks c JOIN kept2 k ON k.doc_id = c.doc_id),
          |pk AS ($pack)

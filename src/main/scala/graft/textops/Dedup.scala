@@ -279,9 +279,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the corpus side is consumed by banding AND the verify join — cache
     // it for the call too (an unpersisted storage-backed table would be
-    // scanned, or a derived one recomputed, twice)
-    val cSigs = corpusSigs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scanned, or a derived one recomputed, twice). Spark caching is NOT
+    // ref-counted, so only take ownership when the caller hasn't already
+    // cached it — unpersisting a caller-cached corpus table here would
+    // evict the caller's cache as a side effect (ADVICE r4).
+    val corpusAlreadyCached =
+      corpusSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cSigs =
+      if (corpusAlreadyCached) corpusSigs
+      else corpusSigs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val corpusBuckets = cappedBuckets(bandedSigs(cSigs, "id"),
         "graft.dedup.incr_buckets")
@@ -311,7 +318,7 @@ object Dedup {
         .localCheckpoint(true)
     } finally {
       newSigs.unpersist(false)
-      cSigs.unpersist(false)
+      if (!corpusAlreadyCached) cSigs.unpersist(false)
       ()
     }
   }

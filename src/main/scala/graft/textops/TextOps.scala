@@ -817,12 +817,21 @@ object TextOps {
     val wIn = Window.partitionBy(col("shard"), col("sub"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NULL-SAFE rejoin (ADVICE r4 medium): groupBy and window partitioning
+    // both treat a NULL shard as its own group/partition — matching the
+    // DuckDB mirror's single PARTITION BY shard window — but a plain
+    // usingColumns join would silently DROP those rows on the Spark side
+    // only. <=> keeps NULL-shard documents flowing through identically in
+    // both engines.
     tok
       .withColumn("in_sub", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .join(offsets, Seq("shard", "sub"))
+      .alias("t")
+      .join(offsets.alias("o"),
+        col("t.shard") <=> col("o.shard") && col("t.sub") <=> col("o.sub"))
       .withColumn("cum", col("sub_offset") + col("in_sub"))
       .withColumn("pack_id", expr(s"cum div ${budget}L"))
-      .select(col("shard"), col("doc_id"), col("n_tokens"), col("pack_id"))
+      .select(col("t.shard").as("shard"), col("doc_id"), col("n_tokens"),
+        col("pack_id"))
   }
 
   /** DuckDB mirror of [[packSequences]] over a (doc_id, source, text)
@@ -1028,11 +1037,29 @@ object TextOps {
 
   // ---- fingerprinting -----------------------------------------------------
 
+  /** Whitespace class shared by [[fingerprint]] and [[fingerprintSql]] —
+    * an EXPLICIT char class in the Java∩RE2 common subset. Java's `\s` is
+    * `[ \t\n\x0B\f\r]` while RE2's (DuckDB) is `[\t\n\f\r ]`; a bare `\s+`
+    * in both engines fingerprints text containing `\x0B` differently. The
+    * explicit class makes both regexes the same automaton.
+    */
+  val fingerprintWs: String = "[ \\t\\n\\f\\r]+"
+
   /** Normalized content fingerprint: lowercase, whitespace-collapsed, md5 —
-    * both engines produce identical bytes (md5 is md5).
+    * both engines produce identical bytes (md5 is md5; whitespace class is
+    * the shared [[fingerprintWs]]).
     */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(lower(regexp_replace(text, fingerprintWs, " ")))
+
+  /** DuckDB mirror of [[fingerprint]], generated from the SAME
+    * [[fingerprintWs]] pattern (single source of truth — a drifted inline
+    * mirror is exactly the cross-engine divergence class ADVICE r4 flagged).
+    */
+  def fingerprintSql(textExpr: String): String =
+    // DuckDB plain string literals pass backslashes through untouched, so
+    // the Scala-side regex string embeds verbatim
+    s"md5(lower(regexp_replace($textExpr, '$fingerprintWs', ' ', 'g')))"
 
   /** 64-bit polynomial rolling hash of the normalized text (the non-SQL
     * fingerprint; used for cheap near-line dedup joins).
