@@ -579,16 +579,8 @@ object SparkEntry {
       val chunks = graft.textops.TextOps
         .chunkDocuments(kept2, "doc_id", "text", 64, 16)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      // chunk-id packing: 20-bit shift (≥1M chunks/doc before collision —
-      // a 1000-chunk doc at 64/16 windows collided under the old ×1000
-      // packing, aliasing into the next doc's id space; VERDICT r4 #2 /
-      // ADVICE r4). The otherwise-branch raises instead of aliasing.
-      val cidShift = 1L << 20
       val cw = chunks.select(
-        (col("doc_id") * cidShift +
-          when(col("chunk_ix") < cidShift, col("chunk_ix"))
-            .otherwise(raise_error(
-              lit("tq_corpus_prep: chunk_ix >= 2^20 overflows cid packing"))))
+        graft.textops.TextOps.packedChunkId(col("doc_id"), col("chunk_ix"))
           .as("cid"),
         col("chunk_text"), col("source"))
       graft.textops.TextOps
@@ -1232,7 +1224,7 @@ object SparkEntry {
          |kept2 AS (SELECT k.* FROM kept1 k JOIN fp USING (doc_id)),
          |chunks AS ($chunks),
          |cw AS (
-         |  SELECT c.doc_id * 1048576 + c.chunk_ix AS doc_id,
+         |  SELECT c.doc_id * ${graft.textops.TextOps.chunkIdShift} + c.chunk_ix AS doc_id,
          |    c.chunk_text AS text, k.source
          |  FROM chunks c JOIN kept2 k ON k.doc_id = c.doc_id),
          |pk AS ($pack)

@@ -961,6 +961,21 @@ object TextOps {
         col("c.chunk_text"))
   }
 
+  /** Collision-free packed chunk id — 20-bit shift, so a document can
+    * yield up to 2^20 chunks before colliding into the next doc's id
+    * space (the old ×1000 packing collided at 1000 chunks — a ~48k-token
+    * document at 64/16 windows, exactly the long documents chunking
+    * exists for; VERDICT r4 #2). chunk_ix ≥ 2^20 raises instead of
+    * silently aliasing.
+    */
+  val chunkIdShift: Long = 1L << 20
+
+  def packedChunkId(docId: Column, chunkIx: Column): Column =
+    docId * chunkIdShift +
+      when(chunkIx < chunkIdShift, chunkIx.cast("long"))
+        .otherwise(raise_error(
+          lit(s"packedChunkId: chunk_ix >= $chunkIdShift overflows packing")))
+
   /** DuckDB mirror of [[chunkDocuments]] over a (doc_id, text) table. */
   def chunkDocumentsSql(
       table: String, chunkTokens: Int, overlapTokens: Int): String = {

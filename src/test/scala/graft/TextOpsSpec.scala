@@ -532,6 +532,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fine.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("packSequences: NULL-shard rows survive the null-safe rejoin as their own shard") {
+    import spark.implicits._
+    // ADVICE r4: the old usingColumns rejoin silently dropped NULL-shard
+    // rows on the Spark side while the DuckDB mirror's PARTITION BY kept
+    // them as one partition
+    val docs = (0L until 12L).map { i =>
+      (i, if (i % 3 == 0) null else "s", "w w w w w") // 5 tokens each
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(docs, "doc_id", "text", "source", 10L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+    assert(out.length == 12, "NULL-shard rows must not be dropped")
+    val nulls = out.filter(_._1.isEmpty).sortBy(_._2)
+    assert(nulls.map(_._2).toSeq == Seq(0L, 3L, 6L, 9L))
+    // NULL shard packs as ONE partition: prefix 0,5,10,15 → packs 0,0,1,1
+    assert(nulls.map(_._3).toSeq == Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("packedChunkId: a >=1000-chunk document never collides with the next doc") {
+    import spark.implicits._
+    // 48*1049 + 64 tokens → 1050 chunks at 64/16 windows: over the old
+    // x1000 packing boundary that aliased chunk ids into doc_id+1's space
+    val longText = (1 to (48 * 1049 + 64)).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, longText), (8L, "a b c")).toDF("doc_id", "text")
+    val cids = TextOps.chunkDocuments(docs, "doc_id", "text", 64, 16)
+      .select(col("doc_id"), col("chunk_ix"),
+        TextOps.packedChunkId(col("doc_id"), col("chunk_ix")).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val (d7, d8) = cids.partition(_._1 == 7L)
+    assert(d7.length == 1050 && d8.length == 1)
+    assert(cids.map(_._3).distinct.length == cids.length, "cid collision")
+    assert(d7.map(_._3).max < d8.map(_._3).min,
+      "doc 7 chunks must stay below doc 8's id space")
+    // overflow raises instead of silently aliasing
+    val boom = intercept[Exception] {
+      Seq((1L, 1 << 20)).toDF("doc_id", "chunk_ix")
+        .select(TextOps.packedChunkId(col("doc_id"), col("chunk_ix")))
+        .collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("chunkDocuments: window coverage, overlap stitching, tail and edge docs") {
     import spark.implicits._
     val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
