@@ -633,13 +633,7 @@ object SparkEntry {
     // ---- A11: seen/unseen dictionary words (distinct + except) ----
     "kg_seen_unseen" -> ((s, _) => {
       import s.implicits._
-      implicit val sp = s
-      val arts = graft.pipeline.Pipeline.artifacts(
-        graft.corpus.Corpus.pages(s, 250, 8))
-      val seen = arts.flatMap(_.row.seg
-        .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
-        .map(_.word)).distinct().toDF("word")
-        .withColumn("status", lit("seen"))
+      val seen = seenSurfaces(s).withColumn("status", lit("seen"))
       val refined = s.createDataset(
         graft.corpus.Vocab.refinedDict.keys.toSeq).toDF("word")
       val unseen = refined.except(seen.select(col("word")))
@@ -690,14 +684,19 @@ object SparkEntry {
       import s.implicits._
       graft.corpus.Vocab.refinedDict.keys.toSeq.sorted.toDF("word")
     }),
-    "kg_entity_surfaces" -> ((s, _) => {
-      import s.implicits._
-      implicit val sp = s
-      graft.pipeline.Pipeline.artifacts(
-        graft.corpus.Corpus.pages(s, 250, 8))
-        .flatMap(_.row.seg
-          .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
-          .map(_.word)).distinct().toDF("word")
+    "kg_entity_surfaces" -> ((s, _) => seenSurfaces(s)),
+    // consumer content-check for the kg_entity_surfaces dump (VERDICT r4
+    // #5 — the one dump nothing re-derived): Spark joins its OWN
+    // freshly-computed surfaces set against its OWN freshly-computed
+    // triples; the oracle re-derives the same per-surface triple counts
+    // purely from the two dumped parquets. A drifted surfaces dump (row
+    // lost/added in the write path) diverges from the in-memory join.
+    "kg_surface_triples" -> ((s, _) => {
+      val triples = graft.pipeline.Pipeline.triples(s, 250, 8).toDF()
+      triples.join(seenSurfaces(s), triples("obj") === col("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("objType")).as("n_types"))
     }),
     // raw per-sentence entity rows + lineage (same 250-page corpus as
     // kg_triples): lets the DuckDB oracle re-derive the FLAGSHIP triple
@@ -716,6 +715,21 @@ object SparkEntry {
           "entName", "entType", "start", "prob")
     })
   )
+
+  /** Distinct essential-type segmentation surfaces over the 250-page
+    * corpus — the A11 "seen" set, shared by kg_seen_unseen,
+    * kg_entity_surfaces (the dump) and kg_surface_triples (the dump's
+    * content consumer).
+    */
+  private def seenSurfaces(s: SparkSession): DataFrame = {
+    import s.implicits._
+    implicit val sp = s
+    graft.pipeline.Pipeline.artifacts(
+      graft.corpus.Corpus.pages(s, 250, 8))
+      .flatMap(_.row.seg
+        .filter(t => graft.model.Ontology.essentialTypes.contains(t.tag))
+        .map(_.word)).distinct().toDF("word")
+  }
 
   /** Seed deterministic near-duplicates (id + 10_000_000, one word appended)
     * so the near-dup detectors have planted positives to find in the
@@ -1351,6 +1365,15 @@ object SparkEntry {
         |FROM read_parquet('{OUT}/kg_refined_dict/*.parquet')
         |WHERE word NOT IN (
         |  SELECT word FROM read_parquet('{OUT}/kg_entity_surfaces/*.parquet'))""".stripMargin,
+    // per-surface triple counts re-derived from the kg_triples and
+    // kg_entity_surfaces dumps — the surfaces dump's content check
+    "kg_surface_triples" ->
+      """SELECT s.word, CAST(count(*) AS BIGINT) AS n_triples,
+        |  CAST(count(DISTINCT t.objType) AS BIGINT) AS n_types
+        |FROM read_parquet('{OUT}/kg_triples/*.parquet') t
+        |JOIN read_parquet('{OUT}/kg_entity_surfaces/*.parquet') s
+        |  ON t.obj = s.word
+        |GROUP BY s.word""".stripMargin,
     // the custom codegen RollingHash Expression, recomputed independently in
     // SQL: per-char fold with HUGEINT mod-2^64 arithmetic replicating JVM
     // long wraparound, lowercase A-Z, whitespace-run collapse

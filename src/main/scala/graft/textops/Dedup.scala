@@ -323,6 +323,81 @@ object Dedup {
     }
   }
 
+  // ---- corpus-signature maintenance (the incremental-dedup loop) ----------
+
+  /** Read the stored corpus signature table: the union of every COMMITTED
+    * crawl generation under `baseDir` (see [[commitCrawlSigs]]). Empty
+    * corpus → empty frame with the [[minhashSigsDf]] schema. One parquet
+    * read over immutable generation dirs — the Iceberg table-scan shape.
+    */
+  def corpusSigs(spark: SparkSession, baseDir: String): DataFrame = {
+    val gens = committedGenerations(spark, baseDir)
+    if (gens.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("sig", ArrayType(LongType)),
+          StructField("shingles", ArrayType(LongType)))))
+    } else spark.read.parquet(gens: _*)
+  }
+
+  /** Commit a crawl's signatures into the stored corpus as an APPEND-ONLY
+    * delta generation — the post-crawl write-back [[incrementalMinhash]]'s
+    * contract promises (VERDICT r4 #4): crawl N+1 then dedups against
+    * crawl N's union with zero corpus recompute.
+    *
+    * Iceberg-MERGE emulation on the [[graft.snapshot.Snapshot]] pattern:
+    * each crawl writes ONLY its delta (new sigs anti-joined against the
+    * current union by id — a re-crawled id keeps its stored first-seen
+    * version) into `baseDir/gen-<crawlId>`, committed by the manifest
+    * AFTER the parquet write, so a half-written generation is invisible
+    * and re-running a committed crawlId is a no-op (idempotent resume).
+    * The corpus "table" is never rewritten — at 100 TB a crawl commit
+    * costs one membership anti-join plus a delta-sized write, not a
+    * corpus-sized rewrite.
+    *
+    * `newSigs` is the crawl's signature frame ([[minhashSigsDf]] layout);
+    * callers typically pre-filter ids that [[incrementalMinhash]] verified
+    * as near-duplicates so the corpus accumulates only kept documents.
+    * Returns the post-commit corpus union.
+    */
+  def commitCrawlSigs(
+      spark: SparkSession,
+      baseDir: String,
+      crawlId: String,
+      newSigs: DataFrame): DataFrame = {
+    require(crawlId.nonEmpty && crawlId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"crawlId must be a plain token, got '$crawlId'")
+    val dir = s"$baseDir/gen-$crawlId"
+    if (!graft.snapshot.Snapshot.exists(spark, dir)) {
+      val existing = committedGenerations(spark, baseDir)
+      val delta =
+        if (existing.isEmpty) newSigs
+        else newSigs.join(
+          spark.read.parquet(existing: _*).select(col("id")),
+          Seq("id"), "left_anti")
+      graft.snapshot.Snapshot.write(delta, dir, s"corpus_sigs:$crawlId",
+        parent = existing.sorted.mkString(","))
+    }
+    corpusSigs(spark, baseDir)
+  }
+
+  /** Committed (manifest-bearing) generation dirs under `baseDir`. */
+  private def committedGenerations(
+      spark: SparkSession, baseDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.toString)
+      .filter(d => graft.snapshot.Snapshot.exists(spark, d))
+      .sorted
+  }
+
   /** Similarity-graph edges by RARE-FEATURE linking: two documents are
     * linked when they share at least `minShared` shingles that occur in
     * EXACTLY two documents corpus-wide (the df=2 inverted-index trick).
