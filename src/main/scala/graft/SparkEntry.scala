@@ -630,6 +630,14 @@ object SparkEntry {
           concat_ws(",", transform(col("frame_offsets"),
             x => x.cast("string"))).as("frames"))
     }),
+    // ---- REAL media decode (uncompressed formats): BMP pixel stats and
+    // WAV amplitude stats parsed from genuine byte layouts on executors;
+    // the generated-VALUES oracle replays the same encode→decode
+    // driver-side. All-integer stats → hash-exact ----
+    "mm_decode" -> ((s, _) => {
+      graft.textops.Multimodal.decodeMedia(
+        graft.textops.Multimodal.decodableTable(s, 120))
+    }),
     // ---- A11: seen/unseen dictionary words (distinct + except) ----
     "kg_seen_unseen" -> ((s, _) => {
       import s.implicits._
@@ -1354,6 +1362,40 @@ object SparkEntry {
          |  CAST(n_frames AS INT) AS n_frames, frames
          |FROM (VALUES $rows)
          | t(media_id, kind, n_bytes, resized_w, resized_h, hist, n_frames, frames)""".stripMargin
+    },
+    // REAL BMP/WAV decode pinned by VALUES generated from the same
+    // encode→decode round-trip the executors run (decodableRow →
+    // decodeBmp/decodeWav; all-integer stats). Deterministic by
+    // construction — the oracle proves the distributed batched decode
+    // matches the driver-side reference decode byte-for-byte.
+    "mm_decode" -> {
+      val rows = (0L until 120L).map { i =>
+        val m = graft.textops.Multimodal.decodableRow(i)
+        val st =
+          if (m.kind == "image") graft.textops.Multimodal.decodeBmp(m.bytes)
+          else graft.textops.Multimodal.decodeWav(m.bytes)
+        s"(${m.mediaId}, '${m.kind}', ${m.bytes.length}, ${st.width}, " +
+          s"${st.height}, ${st.sumR}, ${st.sumG}, ${st.sumB}, " +
+          s"${st.minLum}, ${st.maxLum}, ${st.sampleRate}, " +
+          s"${st.nChannels}, ${st.nSamples}, ${st.ampMin}, ${st.ampMax}, " +
+          s"${st.sumAbs}, ${st.zeroCross})"
+      }.mkString(", ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+         |  CAST(n_bytes AS INT) AS n_bytes,
+         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+         |  CAST(sum_b AS BIGINT) AS sum_b,
+         |  CAST(min_lum AS INT) AS min_lum, CAST(max_lum AS INT) AS max_lum,
+         |  CAST(sample_rate AS INT) AS sample_rate,
+         |  CAST(n_channels AS INT) AS n_channels,
+         |  CAST(n_samples AS INT) AS n_samples,
+         |  CAST(amp_min AS INT) AS amp_min, CAST(amp_max AS INT) AS amp_max,
+         |  CAST(sum_abs AS BIGINT) AS sum_abs,
+         |  CAST(zero_cross AS INT) AS zero_cross
+         |FROM (VALUES $rows)
+         | t(media_id, kind, n_bytes, width, height, sum_r, sum_g, sum_b,
+         |   min_lum, max_lum, sample_rate, n_channels, n_samples,
+         |   amp_min, amp_max, sum_abs, zero_cross)""".stripMargin
     },
     // A11/U2 set semantics re-derived over the dumped seen-surface and
     // refined-dictionary tables
