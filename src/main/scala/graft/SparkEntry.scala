@@ -359,6 +359,19 @@ object SparkEntry {
         withPerturbedEmbeddings(s, t(s, dir, "embeddings")), 0.95)
         .select(col("id_a"), col("id_b"))
     }),
+    // ---- SemDeDup semantic dedup (embedding-level, beside MinHash) ----
+    // cells dump = the one non-SQL piece (k-means assignment); the green
+    // consumer re-derives capping + cosine verification + the recursive-CTE
+    // component pick entirely in SQL over it
+    "dedup_semantic_cells" -> ((s, dir) => {
+      graft.textops.Similarity.semanticCells(
+        withPerturbedEmbeddings(s, t(s, dir, "embeddings")))
+        .select(col("vec_id"), col("cell"))
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      graft.textops.Similarity.semanticDedup(
+        withPerturbedEmbeddings(s, t(s, dir, "embeddings")), 0.95)
+    }),
     // planted-twin recovery contracts — each deterministic by construction,
     // so the oracle is the exact planted list over the base table:
     //  - minhash: docs ≥250 chars ⇒ ≥40 shingles ⇒ pair-band match prob
@@ -973,6 +986,43 @@ object SparkEntry {
     "dedup_embedding_cos" ->
       """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
         |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
+    // EXACT re-derivation of the SemDeDup pipeline over the dumped k-means
+    // cells: perturbed twins rebuilt in SQL (same double-multiply-then-
+    // float-cast as withPerturbedEmbeddings), both-ends MaxBucket=50 cap,
+    // intra-cell pairs, cosine >= 0.95 verification (organic max 0.51 at
+    // this sf — membership is decided with a huge margin on both engines),
+    // recursive-CTE connected components, keep-first pick
+    "dedup_semantic" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT vec_id, cell
+        |  FROM read_parquet('{OUT}/dedup_semantic_cells/*.parquet')),
+        |emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |buckets AS (SELECT cell, list_sort(list(vec_id)) AS all_ids
+        |  FROM cells GROUP BY cell),
+        |capped AS (SELECT CASE WHEN len(all_ids) <= 50 THEN all_ids
+        |    ELSE all_ids[1:25] || all_ids[len(all_ids)-24:len(all_ids)] END AS ids
+        |  FROM buckets WHERE len(all_ids) > 1),
+        |pairs AS (SELECT DISTINCT p.a AS id_a, p.b AS id_b
+        |  FROM capped, unnest(flatten(list_transform(generate_series(1, len(ids)),
+        |    i -> list_transform(ids[i+1:], bb -> {a: ids[i], b: bb})))) AS t(p)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+        |  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= 0.95),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |vertices AS (SELECT vec_id AS v FROM cells),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM vertices
+        |  UNION
+        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src)
+        |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, comp.cluster,
+        |  (c.vec_id = comp.cluster) AS keep
+        |FROM cells c JOIN (SELECT v, min(u) AS cluster FROM reach GROUP BY v)
+        |  comp ON comp.v = c.vec_id""".stripMargin,
     "dedup_minhash_planted" ->
       """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
         |FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 250""".stripMargin,

@@ -316,6 +316,62 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rank")
   }
 
+  /** The k-means cell assignment (vec_id, embedding, cell) used by
+    * [[semanticDedup]] — the IVF coarse quantizer with no probe side. This
+    * is the ONLY non-SQL-expressible piece of the semantic-dedup path,
+    * exposed so the oracle can dump it and re-derive capping, cosine
+    * verification and the component pick in plain SQL ({OUT} pattern).
+    */
+  def semanticCells(
+      embeddings: DataFrame, nlist: Int = 16, dim: Int = 64): DataFrame =
+    ivfAssignments(embeddings, Seq.empty, nlist, 1, dim)._1
+
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv
+    * 2303.09540): embedding-level duplicate removal for pairs that share
+    * MEANING but not shingles — the modern pass a training pipeline runs
+    * beside MinHash.
+    *
+    * Shape: (1) k-means cells from the IVF coarse quantizer — candidate
+    * pairs form ONLY inside a cell, so the corpus-wide all-pairs cosine the
+    * paper replaces never exists here either; (2) intra-cell candidates
+    * through the same BoundedEnds-capped bucket stage as every dedup path
+    * (cap observable on `graft.dedup.semantic_cells`); (3) exact cosine
+    * verification at `threshold`; (4) connected components over verified
+    * edges with keep-first (min-id) canonical pick — the same skew-guarded
+    * CC engine as KG canonicalization.
+    *
+    * Output (vec_id, cell, cluster, keep) covering EVERY input vector.
+    * The cells frame feeds three consumers (banding + both verify sides);
+    * at 100 TB persist [[semanticCells]]' output first (the caller-owned-
+    * cache contract of [[TextOps.ngramLogFreqScore]]) — quantizer TRAINING
+    * runs once per call regardless (driver-side on a bounded sample).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      dim: Int = 64
+  ): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cells = semanticCells(embeddings, nlist, dim)
+    val banded = cells.select(lit(0).as("band"),
+      $"cell".cast("long").as("bucket"), $"vec_id".as("id"))
+    val pairs = Dedup.cappedPairs(banded, "graft.dedup.semantic_cells")
+    val edges = pairs
+      .join(cells.select($"vec_id".as("id_a"), $"embedding".as("emb_a")),
+        "id_a")
+      .join(cells.select($"vec_id".as("id_b"), $"embedding".as("emb_b")),
+        "id_b")
+      .withColumn("sim", round(cosine($"emb_a", $"emb_b"), 6))
+      .filter($"sim" >= threshold)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    Dedup.clusterCanonical(cells.select($"vec_id".as("doc_id")), edges)
+      .join(cells.select($"vec_id".as("doc_id"), $"cell"), "doc_id")
+      .select($"doc_id".as("vec_id"), $"cell", $"cluster", $"keep")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH buckets (the
     * 5th dedup modality): pairs sharing any table's sign bucket with
     * sim >= threshold.

@@ -251,6 +251,67 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("dropped_ids") >= 0L)
   }
 
+  test("semanticDedup: twins collapse keep-first inside cells, organics all kept") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001)).cast("float")))
+    val all = emb.unionByName(twins)
+    val out = Similarity.semanticDedup(all, 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val n = emb.count()
+    assert(out.size == n + (out.keys.count(_ >= 10000000L)))
+    // organic corpus is duplicate-free at 0.95 → every organic keeps itself
+    out.filter(_._1 < 10000000L).foreach { case (id, (_, cluster, keep)) =>
+      assert(keep && cluster == id, s"organic $id lost its own cluster")
+    }
+    // a twin sharing its original's k-means cell MUST collapse keep-first
+    val cellOf = Similarity.semanticCells(all)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val twinIds = out.keys.filter(_ >= 10000000L).toSeq
+    assert(twinIds.nonEmpty)
+    val sameCell = twinIds.filter(t => cellOf(t) == cellOf(t - 10000000L))
+    // 1.001-scaling barely moves a vector: nearly all twins stay in-cell
+    assert(sameCell.size * 10 >= twinIds.size * 8,
+      s"only ${sameCell.size}/${twinIds.size} twins kept their cell")
+    sameCell.foreach { tw =>
+      val (_, cluster, keep) = out(tw)
+      assert(!keep && cluster == tw - 10000000L, s"twin $tw not collapsed")
+    }
+  }
+
+  test("semanticDedup: oversized cell is capped but keeps the extreme-id pair") {
+    import spark.implicits._
+    // 80 IDENTICAL vectors (one cell, one bucket) + a far outlier id: the
+    // both-ends cap must keep (0, outlier) discoverable — and everything
+    // verified collapses into one keep-first cluster
+    val ids = (0L until 79L) :+ 10000050L
+    val same = ids.map(i => (i, Array.fill(8)(0.5f).toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(same, 0.95, nlist = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 80)
+    val outlier = out.find(_._1 == 10000050L).get
+    assert(outlier._2 == 0L && !outlier._3,
+      "outlier must collapse into the keep-first cluster through the cap")
+    // the cap keeps the 25 smallest (ids 0..24) + 25 largest (ids 55..78 +
+    // the outlier) of the 80-member bucket; the 30 mid-range ids 25..54
+    // never enter a candidate pair and stay singletons — the DOCUMENTED
+    // both-ends-cap tradeoff (observable via dropped_ids)
+    val capped = out.filter(r => r._1 >= 25L && r._1 <= 54L)
+    assert(capped.length == 30)
+    assert(capped.forall(r => r._3 && r._2 == r._1),
+      "cap-dropped mid-range ids must remain their own singletons")
+    assert(out.count(_._3) == 1 + capped.length, "one canonical + singletons")
+    assert(out.filter(r => r._1 <= 24L || (r._1 >= 55L && r._1 < 100L))
+      .forall(r => r._2 == 0L), "both kept ends collapse into cluster 0")
+  }
+
   test("repetition signals: Gopher-style dup lines and top n-gram coverage") {
     // duplicate-line fraction: "aaaa" appears twice among 3 lines
     val withDup = "aaaa\naaaa\nbb cc dd"
