@@ -20,13 +20,19 @@ import org.apache.spark.sql.SparkSession
   *     structurally deflating the ratio (measured 0.72 raw at 15k pages
   *     vs 0.89 at 45k in the same window; t = a·P + F fits exactly — a
   *     long round amortizes F the way a real multi-minute job would).
-  *     Every probe run is BRACKETED by pure-CPU host-capacity controls
-  *     (before and after, averaged) at the same busy-core count, each
-  *     pair's ratio is normalized by its own controls and capped at 1.0,
-  *     and the metric is the MEDIAN of the normalized pairs — this host's
-  *     per-core capacity drifts in multi-minute phases, and a throttled
-  *     DENOMINATOR run would inflate a pair, so a max over pairs is
-  *     upward-biased.
+  *     Every measured round is BRACKETED by SPARK-SHAPED control rounds —
+  *     the same pipeline at the same local-cluster config over a fixed
+  *     small page count, run inside the same child JVM (r5, per VERDICT
+  *     r4 #1: host phases slow Spark legs 2-3× more than a pure-CPU
+  *     control moves, so only a control with the measured round's workload
+  *     shape can see the disturbance). Each config's reference control is
+  *     the fastest control round of the whole run (cleanest window);
+  *     each leg is normalized by its own control relative to that
+  *     reference, the pair ratio capped at 1.0, and the metric is the
+  *     MEDIAN of the normalized pairs — this host's per-core capacity
+  *     drifts in multi-minute phases, and a throttled DENOMINATOR run
+  *     would inflate a pair, so a max over pairs is upward-biased.
+  *     Pure-CPU brackets are retained as secondary diagnostics.
   *  2. Thread-scaling (cross-check): one JVM, local[4] → local[16], each
   *     visit paired with a temporally-adjacent pure-CPU host-capacity
   *     control; efficiency per PASS from adjacent visits normalized by each
@@ -62,9 +68,9 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One spark-submit ScaleProbe run; returns the measured-round
-    * triples/sec (best post-warm round when rounds > 1), or None on any
-    * failure.
+  /** One spark-submit ScaleProbe run; returns (measured tps, mean
+    * Spark-shaped-control tps over the two bracketing control rounds), or
+    * None on any failure.
     *
     * stdout is drained on a SEPARATE thread so the 600 s timeout applies to
     * the child process itself — reading the pipe to EOF on this thread would
@@ -72,13 +78,14 @@ object Bench {
     * timeout could never fire.
     */
   private def scaleProbe(
-      executors: Int, coresPer: Int, pages: Long, jar: String): Option[Double] =
+      executors: Int, coresPer: Int, pages: Long, ctlPages: Long,
+      jar: String): Option[(Double, Double)] =
     scala.util.Try {
       val cpus = executors * coresPer
       val cmd = Seq("/opt/spark/bin/spark-submit",
         "--master", s"local-cluster[$executors,$coresPer,4096]",
         "--class", "graft.tools.ScaleProbe",
-        jar, cpus.toString, pages.toString)
+        jar, cpus.toString, pages.toString, "1", ctlPages.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_HOME", "/opt/spark")
       pb.environment().put("SPARK_MASTER",
@@ -102,12 +109,18 @@ object Bench {
       if (!finished) sys.error("scale probe timeout")
       val tpsRe = "tps=([0-9.]+)".r
       import scala.jdk.CollectionConverters._
-      val tps = lines.asScala.toSeq.filter(_.startsWith("SCALEPROBE"))
-        .flatMap(l => tpsRe.findFirstMatchIn(l).map(_.group(1).toDouble))
-      require(tps.nonEmpty, s"no SCALEPROBE lines (exit ${p.exitValue()})")
+      val all = lines.asScala.toSeq
+      def tpsOf(ls: Seq[String]): Seq[Double] =
+        ls.flatMap(l => tpsRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+      val measured = tpsOf(all.filter(_.startsWith("SCALEPROBE ")))
+      val ctl = tpsOf(all.filter(_.startsWith("SCALEPROBE_CTL")))
+      require(measured.nonEmpty, s"no SCALEPROBE lines (exit ${p.exitValue()})")
+      require(ctlPages <= 0 || ctl.nonEmpty,
+        s"no SCALEPROBE_CTL lines (exit ${p.exitValue()})")
       // best warm round (round 1 may still be JIT-settling; later rounds
       // only differ by host phase, which can only slow a round down)
-      (if (tps.length > 1) tps.drop(1) else tps).max
+      val m = (if (measured.length > 1) measured.drop(1) else measured).max
+      (m, if (ctl.nonEmpty) ctl.sum / ctl.size else Double.NaN)
     }.toOption
 
   /** Pure-CPU host-capacity probe at `threads` parallelism, run in THIS JVM
@@ -179,42 +192,52 @@ object Bench {
     // ceiling-bound at ~600k triples/s before AND after the round-2 speedups
     // while 4-core throughput rose 45%, which mathematically deflates wide
     // ratios).
-    // one probe level = control, child run, control: the averaged bracket
-    // is the host's per-core capacity DURING the child window, not just
-    // before it (a throttle phase starting mid-child is half-captured)
+    // one probe level = cpu control, child run (which internally brackets
+    // its measured round with SPARK-SHAPED control rounds — see ScaleProbe),
+    // cpu control. The r4 driver runs proved the pure-CPU control is the
+    // wrong instrument for a Spark-shaped disturbance: host phases slowed
+    // the Spark legs 2-3× more than the pure-CPU control moved (±12-18% leg
+    // tps vs ±5% control), so normalizing by it structurally cannot rescue
+    // a throttled leg (VERDICT r4 #1). The Spark-shaped control shares the
+    // measured round's workload shape (same pipeline, same cluster config,
+    // fixed smaller page count) and runs inside the same child window, so
+    // it sees exactly the weather the leg saw. The pure-CPU bracket is
+    // kept as a cheap secondary diagnostic.
+    val ctlPages = sys.env.getOrElse("SPARK_GRAFT_LC_CTL_PAGES", "12000").toLong
+    final case class Leg(tps: Double, sparkCtl: Double, cpuCtl: Double)
+    final case class Pair(idx: Int, n: Leg, x4: Leg) {
+      def raw: Double = (x4.tps / n.tps) / 4.0
+    }
     def levelRun(
-        executors: Int, coresPer: Int, jar: String): Option[(Double, Double)] = {
+        executors: Int, coresPer: Int, jar: String): Option[Leg] = {
       val busy = executors * coresPer
       val c0 = cpuCapacity(busy)
-      val t = scaleProbe(executors, coresPer, lcPages, jar)
+      val t = scaleProbe(executors, coresPer, lcPages, ctlPages, jar)
       val c1 = cpuCapacity(busy)
-      t.map(tps => (tps, ((c0 + c1) / 2.0) / busy))
+      t.map { case (tps, sctl) => Leg(tps, sctl, ((c0 + c1) / 2.0) / busy) }
     }
-    def lcPair(i: Int): Option[Double] = jarOpt.flatMap { jar =>
-      def levelN(): Option[(Double, Double)] = levelRun(1, 2, jar)
-      def level4N(): Option[(Double, Double)] = levelRun(4, 2, jar)
+    def lcPair(i: Int): Option[Pair] = jarOpt.flatMap { jar =>
+      def levelN(): Option[Leg] = levelRun(1, 2, jar)
+      def level4N(): Option[Leg] = levelRun(4, 2, jar)
       val pair =
         if (i % 2 == 1)
-          for { n <- levelN(); x <- level4N() } yield (n, x)
+          for { n <- levelN(); x <- level4N() } yield Pair(i, n, x)
         else
-          for { x <- level4N(); n <- levelN() } yield (n, x)
-      pair.map { case ((tpsN, perCoreN), (tps4N, perCore4N)) =>
-        val raw = (tps4N / tpsN) / 4.0
-        // divide out how the host's per-core capacity itself moved between
-        // the two runs (busy-core throttle + temporal drift), cap at 1.0
-        val norm = math.min(raw / (perCore4N / perCoreN), 1.0)
-        results += s"scaling_pair_real_raw_$i" -> raw
-        results += s"scaling_pair_real_$i" -> norm
+          for { x <- level4N(); n <- levelN() } yield Pair(i, n, x)
+      pair.foreach { p =>
+        results += s"scaling_pair_real_raw_$i" -> p.raw
         // per-leg diagnostics: make a weak pair attributable to its slow
-        // leg (and to whether the bracketed control saw the phase)
-        results += s"pair_${i}_tps_n" -> tpsN
-        results += s"pair_${i}_tps_4n" -> tps4N
-        results += s"pair_${i}_ctl_n" -> perCoreN
-        results += s"pair_${i}_ctl_4n" -> perCore4N
-        norm
+        // leg (and to whether each control saw the phase)
+        results += s"pair_${i}_tps_n" -> p.n.tps
+        results += s"pair_${i}_tps_4n" -> p.x4.tps
+        results += s"pair_${i}_sctl_n" -> p.n.sparkCtl
+        results += s"pair_${i}_sctl_4n" -> p.x4.sparkCtl
+        results += s"pair_${i}_ctl_n" -> p.n.cpuCtl
+        results += s"pair_${i}_ctl_4n" -> p.x4.cpuCtl
       }
+      pair
     }
-    val realPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val realPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     var pairIdx = 0
     def runPair(): Unit = { pairIdx += 1; lcPair(pairIdx).foreach(realPairs += _) }
 
@@ -353,11 +376,44 @@ object Bench {
     runPair() // pair 7: after the final thread pass
     runPair() // pair 8
     if (realPairs.nonEmpty) {
-      // MEDIAN of the control-normalized pairs (standard definition: mean
-      // of the middle two for an even count), never the max: with samples
-      // minutes apart, a max would systematically pick the sample whose
-      // denominator run hit the deepest throttle phase
-      val sp = realPairs.sorted.toSeq
+      // Spark-shaped-control normalization, calibrated across the whole
+      // run: each CONFIG's reference control speed is the fastest control
+      // round the run observed for that config (its cleanest window —
+      // throttling only ever slows a control down, so max is the
+      // least-disturbed estimate). A leg's weather factor is its own
+      // bracketed control relative to that reference; the pair ratio is
+      // divided by (weather_4N / weather_N) and capped at 1.0. Because the
+      // reference ratio ref4N/refN is one constant across all pairs, the
+      // calibration cannot reorder pairs — it anchors the absolute level
+      // to clean-window behavior, exactly what the per-pair CPU control
+      // failed to do in the r4/r3 driver runs.
+      val haveSparkCtl = realPairs.forall(p =>
+        !p.n.sparkCtl.isNaN && !p.x4.sparkCtl.isNaN)
+      val norms: Seq[Double] =
+        if (haveSparkCtl) {
+          val refN = realPairs.map(_.n.sparkCtl).max
+          val ref4N = realPairs.map(_.x4.sparkCtl).max
+          results += "sctl_ref_n" -> refN
+          results += "sctl_ref_4n" -> ref4N
+          realPairs.map { p =>
+            val weather = (p.x4.sparkCtl / ref4N) / (p.n.sparkCtl / refN)
+            val norm = math.min(p.raw / weather, 1.0)
+            results += s"scaling_pair_real_${p.idx}" -> norm
+            norm
+          }.toSeq
+        } else {
+          // fallback: the r4 pure-CPU normalization (spark ctl unavailable)
+          realPairs.map { p =>
+            val norm = math.min(p.raw / (p.x4.cpuCtl / p.n.cpuCtl), 1.0)
+            results += s"scaling_pair_real_${p.idx}" -> norm
+            norm
+          }.toSeq
+        }
+      // MEDIAN of the normalized pairs (standard definition: mean of the
+      // middle two for an even count), never the max: with samples minutes
+      // apart, a max would systematically pick the sample whose denominator
+      // run hit the deepest throttle phase
+      val sp = norms.sorted
       val median =
         if (sp.size % 2 == 1) sp(sp.size / 2)
         else (sp(sp.size / 2 - 1) + sp(sp.size / 2)) / 2.0
@@ -380,7 +436,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter { case (k, v) => !k.contains("per_sec") &&
       !k.contains("efficiency") && !k.contains("pair") &&
-      !k.startsWith("pair_") && v > 0 }.values.sum
+      !k.startsWith("pair_") && !k.startsWith("sctl_") && v > 0 }.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","bench_pages":$benchPages,"triples":$triplesLast}""")
   }
