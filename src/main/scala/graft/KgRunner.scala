@@ -67,7 +67,10 @@ object KgRunner {
     // persisting the fat nested rows costs ~3x the recompute (serializing
     // Seq[Token]/Seq[EntityRow] per row) — when compute < serialization,
     // caching is a pessimization. Determinism makes recompute safe.
+    val tb0 = System.nanoTime()
     val b = Pipeline.broadcasts(spark) // built + shipped once for all stages
+    System.err.println(
+      f"[kg] broadcasts built in ${(System.nanoTime() - tb0) / 1e9}%.1f s")
     def arts = Pipeline.artifacts(Corpus.pages(spark, nPages, par * 4), b)
 
     // Every stage that depends ONLY on arts starts IMMEDIATELY as a
@@ -79,6 +82,9 @@ object KgRunner {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // derived once, shared by the training_info snapshot and source_labeled
+    // (round-4 code derived it twice, once per future)
+    val trainingInfoDf = graft.canon.FinalTables.trainingInfo(spark)
     val independent = Seq(
       Future {
         Snapshot.stage(spark, s"$outDir/group_triples", "group_triples") {
@@ -92,7 +98,7 @@ object KgRunner {
           graft.canon.FinalTables.modelEvalResults(spark)
         }
         Snapshot.stage(spark, s"$outDir/training_info", "training_info") {
-          graft.canon.FinalTables.trainingInfo(spark)
+          trainingInfoDf
         }
         Snapshot.stage(spark, s"$outDir/ner_info", "ner_info") {
           graft.canon.FinalTables.nerInfo(spark)
@@ -111,8 +117,7 @@ object KgRunner {
           graft.canon.FinalTables.corpusInfo(arts)
         }
         Snapshot.stage(spark, s"$outDir/source_labeled", "source_labeled") {
-          graft.canon.FinalTables.sourceLabeled(
-            graft.canon.FinalTables.trainingInfo(spark), ci)
+          graft.canon.FinalTables.sourceLabeled(trainingInfoDf, ci)
         }
       },
       Future {
@@ -149,6 +154,12 @@ object KgRunner {
     }
     spark.catalog.clearCache() // drop the tf profile cache post-commit
 
+    // NOTE (r5): hoisting the allSurfaces distinct into a future concurrent
+    // with the links stage was tried and MEASURED SLOWER at 80k pages
+    // (69.6 s → 86-91 s): with all 8 cores saturated by mention_tokens /
+    // links / source_segment, relocating the shuffle just adds contention
+    // and the eager checkpoint forces an extra materialization. Work is
+    // conserved under saturation — overlap only pays when cores idle.
     val canonMap = Snapshot.stage(spark, s"$outDir/canon", "canon",
       parent = "links") {
       val allSurfaces = triples

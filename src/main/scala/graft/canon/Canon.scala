@@ -47,26 +47,43 @@ object Canon {
   def preContractHot(edges: DataFrame, threshold: Double = 10.0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // sym feeds the degree pass AND (when hot keys exist) the hotMin
+    // aggregation; deg feeds the mean action and the hot filter. Cache
+    // both for the duration of the detection — the three driver actions
+    // here (mean, isEmpty, hotMin inside the rewrite plan) otherwise
+    // recompute the symmetrized edge set each time, a fixed per-run cost
+    // on the e2e critical path (VERDICT r4 #7 floor work).
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy($"dst").agg(count(lit(1)).as("d"))
-    val meanRow = deg.agg(avg($"d")).first()
-    if (meanRow.isNullAt(0)) return edges // empty edge set
-    val meanD = meanRow.getDouble(0)
-    val hot = deg.filter($"d" > lit(meanD * threshold))
-      .select($"dst".as("h"))
-    if (hot.isEmpty) return edges
-    val hotMin = sym.join(hot, sym("dst") === hot("h"))
-      .groupBy($"h").agg(least(min($"src"), first($"h")).as("m"))
-    val hm = broadcast(hotMin) // hot set is small by construction
-    // rewrite both endpoints through the hot→m mapping, keep witness edges
-    val rewritten = edges
-      .join(hm.select($"h".as("src"), $"m".as("srcM")), Seq("src"), "left")
-      .join(hm.select($"h".as("dst"), $"m".as("dstM")), Seq("dst"), "left")
-      .select(coalesce($"srcM", $"src").as("src"),
-        coalesce($"dstM", $"dst").as("dst"))
-    rewritten.union(hotMin.select($"h".as("src"), $"m".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val meanRow = deg.agg(avg($"d")).first()
+      if (meanRow.isNullAt(0)) return edges // empty edge set
+      val meanD = meanRow.getDouble(0)
+      val hot = deg.filter($"d" > lit(meanD * threshold))
+        .select($"dst".as("h"))
+      if (hot.isEmpty) return edges
+      val hotMin = sym.join(hot, sym("dst") === hot("h"))
+        .groupBy($"h").agg(least(min($"src"), first($"h")).as("m"))
+        // materialize while sym is still cached (the rewrite plan below is
+        // consumed lazily by connectedComponents AFTER the caches drop)
+        .localCheckpoint(true)
+      val hm = broadcast(hotMin) // hot set is small by construction
+      // rewrite both endpoints through the hot→m mapping, keep witness edges
+      val rewritten = edges
+        .join(hm.select($"h".as("src"), $"m".as("srcM")), Seq("src"), "left")
+        .join(hm.select($"h".as("dst"), $"m".as("dstM")), Seq("dst"), "left")
+        .select(coalesce($"srcM", $"src").as("src"),
+          coalesce($"dstM", $"dst").as("dst"))
+      rewritten.union(hotMin.select($"h".as("src"), $"m".as("dst")))
+    } finally {
+      sym.unpersist(false)
+      deg.unpersist(false)
+      ()
+    }
   }
 
   /** edges: DataFrame(src: Long, dst: Long), undirected.
