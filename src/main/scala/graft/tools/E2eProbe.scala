@@ -45,7 +45,7 @@ object E2eProbe {
     // that the narrow warm-up above never touches (measured 43.2 s cold vs
     // 24.6 s warm for the same 20k round) — that cost belongs to the
     // session, not to the measured rounds
-    {
+    locally {
       val wdir = java.nio.file.Files.createTempDirectory("e2e_warm").toString
       graft.KgRunner.run(spark, wdir, 2000, cpus)
       def rm(f: java.io.File): Unit = {
