@@ -355,21 +355,42 @@ object Similarity {
   ): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // The cell-assignment stage feeds FOUR consumers (banding, both sides
+    // of the cosine verify, the final labeled output). Same shape as
+    // minhashLsh's signature stage: persist for the duration of the call,
+    // eagerly materialize the verified edge set (the small end of the
+    // funnel — orders of magnitude below the corpus), release the cache in
+    // finally. The returned frame re-derives cells ONCE lazily at
+    // consumption (narrow scan + assignment UDF, no shuffle), so the total
+    // is 2 corpus passes instead of 5.
     val cells = semanticCells(embeddings, nlist, dim)
-    val banded = cells.select(lit(0).as("band"),
-      $"cell".cast("long").as("bucket"), $"vec_id".as("id"))
-    val pairs = Dedup.cappedPairs(banded, "graft.dedup.semantic_cells")
-    val edges = pairs
-      .join(cells.select($"vec_id".as("id_a"), $"embedding".as("emb_a")),
-        "id_a")
-      .join(cells.select($"vec_id".as("id_b"), $"embedding".as("emb_b")),
-        "id_b")
-      .withColumn("sim", round(cosine($"emb_a", $"emb_b"), 6))
-      .filter($"sim" >= threshold)
-      .select($"id_a".as("src"), $"id_b".as("dst"))
-    Dedup.clusterCanonical(cells.select($"vec_id".as("doc_id")), edges)
-      .join(cells.select($"vec_id".as("doc_id"), $"cell"), "doc_id")
-      .select($"doc_id".as("vec_id"), $"cell", $"cluster", $"keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = cells.select(lit(0).as("band"),
+        $"cell".cast("long").as("bucket"), $"vec_id".as("id"))
+      val pairs = Dedup.cappedPairs(banded, "graft.dedup.semantic_cells")
+      val edges = pairs
+        .join(cells.select($"vec_id".as("id_a"), $"embedding".as("emb_a")),
+          "id_a")
+        .join(cells.select($"vec_id".as("id_b"), $"embedding".as("emb_b")),
+          "id_b")
+        .withColumn("sim", round(cosine($"emb_a", $"emb_b"), 6))
+        .filter($"sim" >= threshold)
+        .select($"id_a".as("src"), $"id_b".as("dst"))
+        .localCheckpoint(true)
+      // CC materializes its labels internally (iterative, checkpointed per
+      // round), so it runs entirely against the tiny edge set
+      val cc = graft.canon.Canon.connectedComponents(edges)
+      // ONE pass over cells for the labeled output (clusterCanonical's
+      // docIds-join-then-cell-join shape would scan cells twice)
+      cells.join(cc, cells("vec_id") === cc("v"), "left")
+        .select(cells("vec_id"), $"cell",
+          coalesce($"component", cells("vec_id")).as("cluster"))
+        .withColumn("keep", $"vec_id" === $"cluster")
+    } finally {
+      cells.unpersist(false)
+      ()
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table LSH buckets (the
