@@ -34,7 +34,11 @@ object PlanCheck {
       // filter), fluency score (partial-agg bigram count + join back)
       "tq_pack_sequences", "tq_domain_mix", "tq_fluency_score",
       // the composed corpus-prep pipeline (filter -> dedup -> chunk -> pack)
-      "tq_corpus_prep")
+      "tq_corpus_prep",
+      // round-5: real BMP/WAV decode (narrow mapPartitions batch, no
+      // shuffle) and SemDeDup (cached cell stage + capped intra-cell
+      // pairs + CC over the checkpointed edge set)
+      "mm_decode", "dedup_semantic")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
