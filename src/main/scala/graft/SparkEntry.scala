@@ -712,6 +712,11 @@ object SparkEntry {
     // triples; the oracle re-derives the same per-surface triple counts
     // purely from the two dumped parquets. A drifted surfaces dump (row
     // lost/added in the write path) diverges from the in-memory join.
+    // Two artifact passes (one per consumer) is the intended cost: the
+    // nested artifact rows are deliberately recomputed rather than cached
+    // (persisting them costs ~3x the recompute — see KgRunner), and a
+    // shared-Dataset derivation would still execute the subtree once per
+    // consumer in the joined plan.
     "kg_surface_triples" -> ((s, _) => {
       val triples = graft.pipeline.Pipeline.triples(s, 250, 8).toDF()
       triples.join(seenSurfaces(s), triples("obj") === col("word"))

@@ -380,6 +380,24 @@ object Dedup {
           Seq("id"), "left_anti")
       graft.snapshot.Snapshot.write(delta, dir, s"corpus_sigs:$crawlId",
         parent = existing.sorted.mkString(","))
+      // Optimistic concurrency check (real Iceberg MERGE detects commit
+      // conflicts; a plain FS has no CAS): if another crawl committed
+      // between our generation listing and our manifest write, our
+      // anti-join may have missed its ids — fail loudly so the caller
+      // re-runs this crawl against the updated union, instead of silently
+      // storing a duplicate id and breaking the first-seen invariant.
+      // Single-writer-per-baseDir remains the documented deployment
+      // contract (as for Snapshot-gated pipeline stages); this check turns
+      // an accidental violation into an error, not a corruption.
+      // compare by generation NAME: committedGenerations returns
+      // FileSystem URIs (file:/...) while dir is the caller's raw path
+      def genName(p: String) = p.split('/').last
+      val after = committedGenerations(spark, baseDir)
+        .map(genName).filterNot(_ == s"gen-$crawlId")
+      require(after.sorted == existing.map(genName).sorted,
+        s"commitCrawlSigs: concurrent commit detected under $baseDir " +
+          s"(expected ${existing.size} prior generations, found " +
+          s"${after.size}); delete $dir and re-run crawl '$crawlId'")
     }
     corpusSigs(spark, baseDir)
   }

@@ -206,8 +206,14 @@ object Multimodal {
     require(width > 0 && height > 0, s"BMP: bad dims ${width}x$height")
     require(bpp == 24, s"BMP: unsupported bpp $bpp (24-bit only)")
     require(compression == 0, s"BMP: compressed ($compression) unsupported")
-    val rowBytes = (width * 3 + 3) & ~3
-    require(bytes.length >= dataOff + rowBytes * height, "BMP: truncated data")
+    require(dataOff >= 54 && dataOff <= bytes.length, "BMP: bad data offset")
+    // Long math: crafted width/height like 0x20000000 x 2 overflow an Int
+    // product to negative, which would defeat this bound and turn the
+    // refusal into an uncontrolled out-of-bounds read
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    require(bytes.length.toLong >= dataOff.toLong + rowBytesL * height,
+      "BMP: truncated data")
+    val rowBytes = rowBytesL.toInt
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var minLum = Int.MaxValue; var maxLum = Int.MinValue
     var y = 0
@@ -281,6 +287,10 @@ object Multimodal {
         s"WAV: chunk $id overruns buffer")
       id match {
         case "fmt " =>
+          // every field below lives in the first 16 declared bytes — a
+          // smaller declared fmt chunk would make these reads alias the
+          // NEXT chunk's bytes (refuse, don't guess)
+          require(size >= 16, s"WAV: fmt chunk too small ($size)")
           require(shortLE(bytes, off + 8) == 1, "WAV: non-PCM unsupported")
           nChannels = shortLE(bytes, off + 10) & 0xffff
           sampleRate = intLE(bytes, off + 12)

@@ -45,13 +45,13 @@ object E2eProbe {
     // that the narrow warm-up above never touches (measured 43.2 s cold vs
     // 24.6 s warm for the same 20k round) — that cost belongs to the
     // session, not to the measured rounds
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
     locally {
       val wdir = java.nio.file.Files.createTempDirectory("e2e_warm").toString
       graft.KgRunner.run(spark, wdir, 2000, cpus)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
       rm(new java.io.File(wdir))
     }
     val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
@@ -65,10 +65,6 @@ object E2eProbe {
       val edges = spark.read.parquet(s"$dir/edges").count()
       println(f"E2EPROBE round=$round cpus=$cpus pages=$p triples=$triples edges=$edges sec=$sec%.2f tps=${triples / sec}%.0f")
       samples += ((p, sec))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
-      }
       rm(new java.io.File(dir))
     }
     // per-adjacent-pair floor fit (same host phase by construction)

@@ -53,6 +53,20 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(badMagic))
     val truncated = good.take(good.length - 4)
     intercept[IllegalArgumentException](Multimodal.decodeBmp(truncated))
+    // crafted dims whose Int byte-count product overflows negative must be
+    // a clean refusal, not an out-of-bounds read (review finding)
+    val overflow = good.clone()
+    overflow(18) = 0; overflow(19) = 0; overflow(20) = 0; overflow(21) = 0x20
+    val e = intercept[IllegalArgumentException](Multimodal.decodeBmp(overflow))
+    assert(e.getMessage.contains("truncated data"))
+  }
+
+  test("WAV decoder refuses an undersized fmt chunk instead of aliasing bytes") {
+    val good = Multimodal.encodeWav(8000, 1, Array[Short](1, -1))
+    val bad = good.clone()
+    bad(16) = 4 // declared fmt size 4: sampleRate would read the next chunk
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    assert(e.getMessage.contains("fmt chunk"))
   }
 
   test("WAV round-trip: known samples, exact amplitude stats and crossings") {
