@@ -133,9 +133,19 @@ object Canon {
             .as("label"))
         .observe(obs, sum(col("label").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint(eager = true)
-      val sumNow = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
-        .get("label_sum").map(_.asInstanceOf[java.math.BigDecimal])
-        .orNull
+      // the observed metric is posted on the ASYNC listener bus after the
+      // eager checkpoint's action completes — drain the bus before reading
+      // so a fresh session's first iteration doesn't race into the (more
+      // expensive) diff-join fallback
+      def readSum(): java.math.BigDecimal =
+        org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+          .get("label_sum").map(_.asInstanceOf[java.math.BigDecimal])
+          .orNull
+      var sumNow = readSum()
+      if (sumNow == null) {
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        sumNow = readSum()
+      }
       val changed =
         if (sumNow != null && prevSum != null) sumNow.compareTo(prevSum) != 0
         else if (sumNow != null) true // first iteration: no baseline yet
