@@ -612,6 +612,12 @@ object SparkEntry {
       graft.textops.TextOps.chunkDocuments(
         t(s, dir, "documents"), "doc_id", "text", 64, 16)
     }),
+    // ---- content-defined chunking (md5-nibble FastCDC-style boundaries,
+    // edit-robust — the dedup-oriented complement of the fixed windows) ----
+    "tq_cdc_chunks" -> ((s, dir) => {
+      graft.textops.TextOps.cdcChunks(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
     // ---- benchmark-contamination scan (train/test leakage check) ----
     "tq_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1280,6 +1286,8 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSampleSql("documents"),
     "tq_chunk_docs" ->
       graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
+    "tq_cdc_chunks" ->
+      graft.textops.TextOps.cdcChunksSql("documents"),
     "tq_fluency_score" ->
       graft.textops.TextOps.ngramLogFreqScoreSql("documents"),
     // end-to-end corpus prep, composed from the SAME generated sub-mirrors

@@ -2,6 +2,7 @@ package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Hashing
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language-ID, quality scoring, token counting, fingerprinting. All are
@@ -997,6 +998,94 @@ object TextOps {
        |      ELSE (len(w) - $chunkTokens + $step - 1) // $step END)) c(i)
        |WHERE len(w) > 0""".stripMargin
   }
+
+  // ---- content-defined chunking (FastCDC-style word boundaries) ----------
+
+  /** Content-defined chunking over words: a chunk boundary falls AFTER
+    * word i whenever the md5 of the 3-gram ending at i starts with hex
+    * nibble '0' (p = 1/16 → mean chunk ≈ 16 words). Unlike the
+    * fixed-window [[chunkDocuments]], boundaries move WITH the content,
+    * so an insertion near the start of a document shifts only the chunks
+    * it touches — the property that makes CDC the edit-robust chunker for
+    * substring-level dedup (the same role gear/Rabin boundaries play in
+    * FastCDC, Xia et al., USENIX ATC 2016).
+    *
+    * md5 is the boundary hash ON PURPOSE: both engines compute identical
+    * digests over UTF-8 bytes, so the oracle re-derives every boundary
+    * exactly. Stateless boundaries (no min/max chunk clamps) keep the
+    * operator row-local AND mirror-exact; production min/max bounds are a
+    * stateful scan over the same boundary stream.
+    *
+    * Scale shape: pure row-local flatMap (the minhashSigsDf class) — no
+    * shuffle, runs inside the scan stage. Output
+    * (doc_id, chunk_ix, n_tokens, fp) with fp = md5 of the chunk text.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" +").filter(_.nonEmpty)
+        if (ws.isEmpty) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def nibble0(gram: String): Boolean = {
+            md.reset()
+            val d = md.digest(gram.getBytes("UTF-8"))
+            (d(0) & 0xf0) == 0 // first hex char == '0'
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, String)]
+          var start = 0 // 0-based inclusive
+          var ix = 0
+          var i = 2 // 0-based index of the word ENDING a 3-gram
+          while (i < ws.length) {
+            if (nibble0(s"${ws(i - 2)} ${ws(i - 1)} ${ws(i)}")) {
+              val chunk = ws.slice(start, i + 1).mkString(" ")
+              out += ((id, ix, (i + 1 - start).toLong,
+                Hashing.md5Hex(chunk)))
+              ix += 1
+              start = i + 1
+            }
+            i += 1
+          }
+          if (start < ws.length) {
+            val chunk = ws.slice(start, ws.length).mkString(" ")
+            out += ((id, ix, (ws.length - start).toLong,
+              Hashing.md5Hex(chunk)))
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "chunk_ix", "n_tokens", "fp")
+  }
+
+  /** DuckDB mirror of [[cdcChunks]] over a (doc_id, text) table — the
+    * boundary stream, segment assembly and chunk fingerprints re-derived
+    * entirely from md5, which both engines compute identically.
+    */
+  def cdcChunksSql(table: String): String =
+    s"""SELECT doc_id, CAST(k - 1 AS INT) AS chunk_ix,
+       |  CAST(e - s + 1 AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ws[s:e], ' ')) AS fp
+       |FROM (
+       |  SELECT doc_id, ws, k,
+       |    CASE WHEN k = 1 THEN 1 ELSE cut[k - 1] + 1 END AS s,
+       |    CASE WHEN k <= len(cut) THEN cut[k] ELSE len(ws) END AS e
+       |  FROM (
+       |    SELECT doc_id, ws,
+       |      list_filter(list_transform(generate_series(3, len(ws)),
+       |        i -> CASE WHEN substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 1) = '0'
+       |             THEN i ELSE NULL END), x -> x IS NOT NULL) AS cut
+       |    FROM (
+       |      SELECT doc_id,
+       |        list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |          x -> len(x) > 0) AS ws
+       |      FROM $table)
+       |    WHERE len(ws) > 0) c,
+       |  LATERAL unnest(generate_series(1, len(cut) + 1)) t(k))
+       |WHERE s <= e""".stripMargin
 
   // ---- domain-mix temperature rebalancing ---------------------------------
 

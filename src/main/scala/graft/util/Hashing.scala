@@ -44,4 +44,21 @@ object Hashing {
 
   def mix(a: Long, b: Long): Long = mix(a ^ mix(b))
   def mix(a: Long, b: Long, c: Long): Long = mix(a ^ mix(b ^ mix(c)))
+
+  /** Lowercase hex md5 of the UTF-8 bytes — byte-identical to SQL engines'
+    * md5(), used where a boundary/fingerprint must be re-derivable by the
+    * DuckDB oracle (FNV/splitmix stay the hot-path hashes).
+    */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
 }

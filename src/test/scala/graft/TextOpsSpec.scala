@@ -715,6 +715,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == (1 to 100).map(i => s"w$i"))
   }
 
+  test("cdcChunks: coverage, determinism, and edit-robust boundaries") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    // insertion near the START of the document
+    val edited = (Seq("tok1", "INSERTED") ++ words.tail).mkString(" ")
+    val docs = Seq((1L, base), (2L, edited), (3L, "a b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // empty doc → no chunks; short doc (no 3-gram boundary) → one chunk
+    assert(!byDoc.contains(4L))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq ==
+      Seq((2L, graft.util.Hashing.md5Hex("a b"))))
+    // full coverage: token counts rebuild the doc length, ixs contiguous
+    assert(byDoc(1L).map(_._3).sum == 400L)
+    assert(byDoc(1L).map(_._2).toSeq == byDoc(1L).indices.toSeq)
+    // the CDC property: chunks AFTER the edit point realign — the base and
+    // edited docs share most chunk fingerprints (a fixed-window chunker
+    // shares none once offsets shift)
+    val fps1 = byDoc(1L).map(_._4).toSet
+    val fps2 = byDoc(2L).map(_._4).toSet
+    val shared = fps1.intersect(fps2).size
+    assert(shared >= fps1.size - 3,
+      s"only $shared/${fps1.size} chunks survived a single-token insertion")
+    // fixed windows lose ALL alignment after the same edit (the contrast
+    // that motivates CDC)
+    val fw1 = TextOps.chunkDocuments(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", 16, 0).collect().map(_.getString(3)).toSet
+    val fw2 = TextOps.chunkDocuments(Seq((2L, edited)).toDF("doc_id", "text"),
+      "doc_id", "text", 16, 0).collect().map(_.getString(3)).toSet
+    assert(fw1.intersect(fw2).size <= 1)
+  }
+
   test("domainMixSample: rarest domain kept whole, dominant flattened, deterministic") {
     import spark.implicits._
     val docs = ((0 until 400).map(i => (i.toLong, "a")) ++
