@@ -48,6 +48,27 @@ object SparkEntry {
   private val plantedBoilerplate = "subscribe to our newsletter for the " +
     "latest updates and follow us on social media today"
 
+  /** Planted messy-unicode suffix for tq_normalize_text (single source of
+    * truth; the oracle side is rendered through TextOps.sqlLit so control
+    * characters survive as chr() calls). Exercises every normalizeSteps
+    * rule plus the NFC cases: combining acute (e+U+0301), zero-widths/BOM,
+    * CRLF and bare CR, C0 controls + DEL, run-of-space/tab collapse, ohm
+    * singleton (U+2126→U+03A9), decomposed jamo (→ precomposed hangul),
+    * soft hyphen, and a ligature NFC must PRESERVE.
+    */
+  // built from \\u escapes ONLY: raw invisible/control characters in a
+  // source literal are corrupted by the first tool that re-encodes the file
+  private val messyText =
+    " caf" + "e\u0301" +                              // combining acute
+      " \u200bzero\u200dwidth\ufeff " +               // zero-widths + BOM
+      "CR\r\nLF\rbare " +                             // CRLF + bare CR
+      // NUL deliberately absent: DuckDB VARCHARs cannot carry \x00, so a
+      // NUL in the planted fixture truncates the ORACLE side only
+      "bell\u0007soh\u0001del\u007f " +               // C0 controls + DEL
+      "two  spaces\tand\ttabs " +                     // collapse
+      "\u2126 ohm \u1112\u1161\u11ab hangul \u00adsoft " + // singleton/jamo/soft hyphen
+      "\ufb01 ligature kept"                          // NFC preserves
+
   /** Flagship: KG triples from the synthetic corpus (driver smoke-checks
     * rows > 0 on sf0.001).
     */
@@ -225,6 +246,20 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n"))
     }),
+    // ---- bloom-prefiltered exact membership: new crawl vs stored corpus.
+    // Corpus = doc_id%3!=0; new crawl = doc_id%3==0 plus re-crawls of
+    // corpus docs (doc_id%21==1, content identical, shifted ids) that the
+    // gate must drop. Oracle is the plain anti-join — the bloom has no
+    // false negatives, so the result is exactly SQL-expressible ----
+    "dedup_bloom_membership" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val recrawl = corpus.filter(col("doc_id") % 21 === 1)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      val newCrawl = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(recrawl)
+      graft.textops.Dedup.bloomNewDocs(newCrawl, "doc_id", "text", corpus)
+    }),
     // ---- ExactSubstr dedup (Lee et al. 2022): remove duplicated k-word
     // spans, keep-first; boilerplate planted on doc_id%6 so removal is
     // exercised corpus-wide and re-derived exactly in DuckDB
@@ -269,6 +304,22 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"))
+    }),
+    // ---- unicode/whitespace normalization (ftfy-lite) over a corpus with
+    // a planted messy-unicode suffix; NFC runs through the codegen
+    // NfcNormalize expression, the oracle through DuckDB's builtin ----
+    "tq_normalize_text" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 1, lit(messyText))
+              .otherwise(lit(""))).as("text"))
+      val norm = graft.textops.TextOps.normalizeText(col("text"))
+      aug.select(col("doc_id"), norm.as("text_norm"),
+        (norm =!= col("text")).cast("int").as("changed"),
+        call_function("octet_length", col("text")).cast("long")
+          .as("n_bytes_raw"),
+        call_function("octet_length", norm).cast("long").as("n_bytes_norm"))
     }),
     // ---- similarity search: exact brute-force cosine top-k ----
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -898,6 +949,19 @@ object SparkEntry {
         |WHERE n_chars > 200 AND text IS NOT NULL GROUP BY lang""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY md5(text)",
+    "dedup_bloom_membership" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |nc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM corpus WHERE doc_id % 21 = 1)
+        |SELECT n.doc_id, md5(coalesce(n.text, '')) AS fp
+        |FROM nc n
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c
+        |  WHERE md5(coalesce(c.text, '')) = md5(coalesce(n.text, '')))"""
+        .stripMargin,
     "dedup_substring" -> {
       val k = 8
       s"""WITH base AS (
@@ -956,6 +1020,21 @@ object SparkEntry {
       s"""SELECT ${graft.textops.TextOps.fingerprintSql("text")} AS fp,
         | count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "tq_normalize_text" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN ${graft.textops.TextOps.sqlLit(messyText)}
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  ${graft.textops.TextOps.normalizeTextSql("text")} AS text_norm
+        |  FROM aug)
+        |SELECT doc_id, text_norm,
+        |  CAST(text_norm <> text AS INT) AS changed,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes_raw,
+        |  CAST(strlen(text_norm) AS BIGINT) AS n_bytes_norm
+        |FROM n""".stripMargin,
     "sim_topk_bruteforce" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

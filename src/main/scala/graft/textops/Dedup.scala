@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Hashing
 
@@ -414,6 +414,110 @@ object Dedup {
       .map(_.getPath.toString)
       .filter(d => graft.snapshot.Snapshot.exists(spark, d))
       .sorted
+  }
+
+  // ---- exact-membership prefilter (Bloom filter over content hashes) ------
+
+  /** Content key shared by the bloom build and the resolve join. */
+  private def contentFp(textCol: String): Column =
+    md5(coalesce(col(textCol), lit("")))
+
+  /** Bloom filter over the corpus' content fingerprints — built ONCE per
+    * corpus snapshot (tree-aggregated by Spark's sketch builder), then
+    * persisted with [[saveBloom]] and shipped to every subsequent crawl:
+    * the reuse across crawls is what Spark's automatic runtime bloom
+    * filters (which rebuild per query) cannot give. Sizing: ~1.2 GB at
+    * 10⁹ keys / 1% fpp — broadcastable; beyond ~10⁹ corpus documents skip
+    * the prefilter and run the plain anti-join of [[bloomNewDocs]]'s
+    * resolve stage over everything.
+    */
+  def corpusBloom(
+      corpus: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = corpus.select(contentFp(textCol).as("fp"))
+    val n = keys.count()
+    // zero-row aggregate leaves the sketch's bit buffer null — an empty
+    // corpus gets a valid empty filter instead (mightContain always false)
+    if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    else keys.stat.bloomFilter("fp", n, fpp)
+  }
+
+  /** Persist a corpus bloom through the Hadoop FS API (any supported
+    * scheme; the crawl-N+1 job loads it instead of re-scanning the
+    * corpus). Write-then-rename for the same torn-write safety as the
+    * snapshot manifests.
+    */
+  def saveBloom(
+      spark: SparkSession,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"saveBloom: rename $tmp -> $p failed")
+  }
+
+  def loadBloom(
+      spark: SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Exact-membership dedup of a new crawl against a stored corpus with a
+    * Bloom prefilter — the crawl-pipeline "have we seen this exact page
+    * content before" gate ([[incrementalMinhash]] is its NEAR-dup
+    * sibling). Output: (doc_id, fp) of the genuinely-new documents, EXACTLY
+    * equal to the plain content-hash anti-join — a Bloom filter has no
+    * false negatives, so the prefilter can only route rows, never change
+    * the result (the spec pins the equality; the oracle is the plain
+    * anti-join in SQL).
+    *
+    * Scale shape: rows the bloom clears ("definitely new", the vast
+    * majority of a typical crawl) bypass the shuffle entirely and flow
+    * straight from the scan; only bloom candidates (true dups + the fpp
+    * sliver) enter the anti-join against the corpus key table. The
+    * candidate/total split is observable on the returned plan's
+    * CollectMetrics (`graft.dedup.bloom_definite` / `..._candidates`).
+    * The probe itself is a broadcast-read UDF — no public might_contain
+    * expression exists (Spark's BloomFilterMightContain is optimizer-
+    * internal), and the O(1)-per-row probe is not the bottleneck the
+    * shuffle it removes was. Within-crawl duplicates are NOT collapsed
+    * here (that is exact dedup's job); each new row is judged against the
+    * corpus independently, like the SQL anti-join.
+    */
+  def bloomNewDocs(
+      newCrawl: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = newCrawl.sparkSession
+    val bf = corpusBloom(corpus, textCol, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((fp: String) => bfB.value.mightContainString(fp))
+    val flagged = newCrawl.select(
+      col(idCol).cast("long").as("doc_id"),
+      contentFp(textCol).as("fp"),
+      mightContain(contentFp(textCol)).as("maybe"))
+    val definite = flagged.filter(!col("maybe"))
+      .observe("graft.dedup.bloom_definite", count(lit(1)).as("n"))
+    val candidates = flagged.filter(col("maybe"))
+      .observe("graft.dedup.bloom_candidates", count(lit(1)).as("n"))
+    val corpusFps = corpus.select(contentFp(textCol).as("fp"))
+    val resolved = candidates.join(corpusFps, Seq("fp"), "left_anti")
+    definite.select("doc_id", "fp")
+      .unionByName(resolved.select("doc_id", "fp"))
   }
 
   /** Similarity-graph edges by RARE-FEATURE linking: two documents are

@@ -1139,6 +1139,79 @@ object TextOps {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1048576 < r.rate""".stripMargin
 
+  // ---- unicode text normalization (ftfy-lite cleanup pass) ----------------
+
+  /** Render a Scala string as a DuckDB VARCHAR expression: quoted runs for
+    * printable ASCII, `chr(cp)` for everything else (control characters,
+    * non-ASCII, quotes stay in-band via '' doubling). Lets planted fixture
+    * strings containing NUL/BOM/combining marks embed safely in generated
+    * oracle SQL — a raw literal would be corrupted by the first layer that
+    * re-encodes or strips the file.
+    */
+  def sqlLit(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new java.lang.StringBuilder
+    def flush(): Unit = if (run.length > 0) {
+      parts += "'" + run.toString.replace("'", "''") + "'"
+      run.setLength(0)
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 0x20 && cp <= 0x7e) run.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+      i += Character.charCount(cp)
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** Ordered cleanup regex steps shared by [[normalizeText]] and
+    * [[normalizeTextSql]] — patterns in the Java∩RE2 common subset,
+    * replacements literal. Applied AFTER NFC composition:
+    * line-ending unification, C0/DEL control strip (tab+newline survive —
+    * tab is collapsed next, newline is structure), invisible-codepoint
+    * strip (zero-widths / BOM / soft hyphen — the classic web-text
+    * mojibake residue), horizontal-whitespace collapse, then
+    * space-around-newline trim.
+    */
+  val normalizeSteps: Seq[(String, String)] = Seq(
+    "\\r\\n?" -> "\n",
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "",
+    "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]" -> "",
+    "[ \\t]+" -> " ",
+    " ?\\n ?" -> "\n")
+
+  /** Unicode + whitespace text normalization (the ftfy-lite cleanup every
+    * pretraining pipeline runs before fingerprint/dedup): NFC composition
+    * via the codegen [[graft.functions.NfcNormalize]] expression, then the
+    * shared [[normalizeSteps]], then a space/newline trim. Pure row-local
+    * expression chain — runs inside the scan stage at any scale, zero
+    * shuffle, whole-stage codegen throughout.
+    */
+  def normalizeText(text: Column): Column = {
+    val composed =
+      graft.functions.NfcNormalize.nfc_normalize(coalesce(text, lit("")))
+    val cleaned = normalizeSteps.foldLeft(composed) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    trim(cleaned, " \n")
+  }
+
+  /** DuckDB mirror of [[normalizeText]], generated from the SAME
+    * [[normalizeSteps]] (DuckDB's builtin `nfc_normalize` and the JVM's
+    * `java.text.Normalizer` implement the same Unicode NFC — probed
+    * codepoint-for-codepoint on combining marks, jamo and singletons).
+    */
+  def normalizeTextSql(expr0: String): String = {
+    val cleaned = normalizeSteps.foldLeft(s"nfc_normalize(coalesce($expr0, ''))") {
+      case (e, (p, r)) =>
+        s"regexp_replace($e, '${p.replace("'", "''")}', ${sqlLit(r)}, 'g')"
+    }
+    s"trim($cleaned, ' ' || chr(10))"
+  }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Whitespace class shared by [[fingerprint]] and [[fingerprintSql]] —

@@ -38,7 +38,11 @@ object PlanCheck {
       // round-5: real BMP/WAV decode (narrow mapPartitions batch, no
       // shuffle) and SemDeDup (cached cell stage + capped intra-cell
       // pairs + CC over the checkpointed edge set)
-      "mm_decode", "dedup_semantic")
+      "mm_decode", "dedup_semantic",
+      // round-5 additions: CDC chunking (pure row-local flatMap),
+      // normalization (narrow codegen expression chain), bloom membership
+      // (definite-new rows bypass the anti-join shuffle entirely)
+      "tq_cdc_chunks", "tq_normalize_text", "dedup_bloom_membership")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
