@@ -669,6 +669,12 @@ object SparkEntry {
       graft.textops.TextOps.cdcChunks(
         t(s, dir, "documents"), "doc_id", "text")
     }),
+    // ---- per-domain document cap (C4/RefinedWeb host quota; k=10 of 25
+    // docs per source so the cap binds on every domain) ----
+    "tq_domain_cap" -> ((s, dir) => {
+      graft.textops.TextOps.domainCap(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars", 10)
+    }),
     // ---- benchmark-contamination scan (train/test leakage check) ----
     "tq_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1363,6 +1369,8 @@ object SparkEntry {
       graft.textops.TextOps.packSequencesSql("documents", 2048L),
     "tq_domain_mix" ->
       graft.textops.TextOps.domainMixSampleSql("documents"),
+    "tq_domain_cap" ->
+      graft.textops.TextOps.domainCapSql("documents", 10),
     "tq_chunk_docs" ->
       graft.textops.TextOps.chunkDocumentsSql("documents", 64, 16),
     "tq_cdc_chunks" ->

@@ -434,12 +434,19 @@ object Dedup {
   def corpusBloom(
       corpus: DataFrame,
       textCol: String,
-      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
     val keys = corpus.select(contentFp(textCol).as("fp"))
-    val n = keys.count()
+    // expectedItems > 0 fixes the capacity up front — REQUIRED when the
+    // bloom will grow via updateCorpusBloom (bit arrays can't resize, so
+    // bootstrap with the eventual corpus size); default sizes to the
+    // current corpus for one-shot use
+    val n = if (expectedItems > 0L) expectedItems else keys.count()
     // zero-row aggregate leaves the sketch's bit buffer null — an empty
     // corpus gets a valid empty filter instead (mightContain always false)
     if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    else if (keys.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
     else keys.stat.bloomFilter("fp", n, fpp)
   }
 
@@ -471,6 +478,37 @@ object Dedup {
     val in = fs.open(p)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
+  }
+
+  /** Fold a crawl's content keys into the stored corpus bloom — the bloom
+    * analog of [[commitCrawlSigs]], so crawl N+1 prefilters against crawl
+    * N's union without a corpus re-scan. `expectedItems`/`fpp` are the
+    * BOOTSTRAP capacity parameters (size the filter for the EVENTUAL
+    * corpus at creation time — bloom bit arrays cannot grow): the delta
+    * is built with the same parameters so the sketches are mergeable;
+    * mismatched capacity is rejected up front rather than silently
+    * degrading the fpp. Load → mergeInPlace → atomic re-save
+    * (write-then-rename, same torn-write safety as [[saveBloom]]).
+    */
+  def updateCorpusBloom(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val stored = loadBloom(spark, path)
+    val keys = newDocs.select(contentFp(textCol).as("fp"))
+    val delta =
+      if (keys.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else keys.stat.bloomFilter("fp", expectedItems, fpp)
+    require(stored.isCompatible(delta),
+      s"updateCorpusBloom: stored bloom at $path was built with different " +
+        s"capacity parameters than (expectedItems=$expectedItems, fpp=$fpp)")
+    stored.mergeInPlace(delta)
+    saveBloom(spark, stored, path)
+    stored
   }
 
   /** Exact-membership dedup of a new crawl against a stored corpus with a

@@ -1139,6 +1139,48 @@ object TextOps {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1048576 < r.rate""".stripMargin
 
+  // ---- per-domain document cap (C4/RefinedWeb host quota) -----------------
+
+  /** Keep at most `k` documents per domain, by a deterministic priority
+    * (orderCol DESC, id ASC — "the k longest pages of every host", the
+    * C4/RefinedWeb guard against a single boilerplate-heavy domain
+    * swamming the mix; [[domainMixSample]] is its probabilistic sibling).
+    *
+    * Scale shape: written as the textbook rank-filter so Catalyst rewrites
+    * it into WindowGroupLimitExec (Spark 3.5+ InferWindowGroupLimit):
+    * each task keeps an O(k) heap per group BOTH map-side (partial, before
+    * the shuffle) and reduce-side, so a 10⁸-page domain never buffers —
+    * the naive WindowExec would sort and hold the whole domain partition.
+    * The spec pins the operator's presence in the physical plan.
+    * NULL ordering is pinned explicitly (engines differ on defaults);
+    * NULL domains form one capped group like any other, matching the
+    * mirror's PARTITION BY semantics.
+    */
+  def domainCap(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      orderCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc_nulls_last)
+    docs.select(col(domainCol), col(idCol), col(orderCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** DuckDB mirror of [[domainCap]] over a (doc_id, source, n_chars)
+    * table.
+    */
+  def domainCapSql(table: String, k: Int): String =
+    s"""SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST) AS rk
+       |  FROM $table)
+       |WHERE rk <= $k""".stripMargin
+
   // ---- unicode text normalization (ftfy-lite cleanup pass) ----------------
 
   /** Render a Scala string as a DuckDB VARCHAR expression: quoted runs for

@@ -42,7 +42,9 @@ object PlanCheck {
       // round-5 additions: CDC chunking (pure row-local flatMap),
       // normalization (narrow codegen expression chain), bloom membership
       // (definite-new rows bypass the anti-join shuffle entirely)
-      "tq_cdc_chunks", "tq_normalize_text", "dedup_bloom_membership")
+      "tq_cdc_chunks", "tq_normalize_text", "dedup_bloom_membership",
+      // domain cap: the rank-filter must rewrite to WindowGroupLimitExec
+      "tq_domain_cap")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan

@@ -106,6 +106,59 @@ class NormalizeBloomSpec extends AnyFunSuite {
     assert(candidates >= 10L)
   }
 
+  test("domainCap: binds at k, deterministic priority, WindowGroupLimit plan") {
+    import spark.implicits._
+    // domain a: 30 docs with distinct lengths; b: 3 docs; one NULL-domain
+    val docs = ((0 until 30).map(i => (i.toLong, Some("a"), 100L + i)) ++
+      (0 until 3).map(i => (100L + i, Some("b"), 50L)) ++
+      Seq((200L, Option.empty[String], 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.domainCap(docs, "doc_id", "source", "n_chars", 10)
+    val rows = out.collect()
+    val byDom = rows.groupBy(r => Option(r.getString(0)))
+    assert(byDom(Some("a")).length == 10, "cap must bind on the big domain")
+    // longest-first: the 10 kept 'a' docs are exactly ids 20..29
+    assert(byDom(Some("a")).map(_.getLong(1)).sorted.toSeq ==
+      (20L until 30L))
+    // ties (same n_chars) break by ascending id
+    assert(byDom(Some("b")).map(_.getLong(1)).sorted.toSeq ==
+      Seq(100L, 101L, 102L))
+    assert(byDom(None).map(_.getLong(1)).toSeq == Seq(200L),
+      "NULL domain is one capped group, not dropped")
+    // the rank-limit rewrite must hold — WindowGroupLimitExec keeps an
+    // O(k) heap per group instead of buffering whole domain partitions
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("WindowGroupLimit"),
+      "expected WindowGroupLimitExec in:\n" + executed.take(1200))
+  }
+
+  test("updateCorpusBloom folds a crawl in; capacity mismatch rejected") {
+    import spark.implicits._
+    val capacity = 1000L
+    val corpus = (0 until 50)
+      .map(i => (i.toLong, s"gen0 doc $i")).toDF("doc_id", "text")
+    val crawl = (0 until 30)
+      .map(i => (1000L + i, s"crawl1 doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bloomup").toString
+    val path = s"$dir/corpus.bloom"
+    Dedup.saveBloom(spark,
+      Dedup.corpusBloom(corpus, "text", 0.01, capacity), path)
+    Dedup.updateCorpusBloom(spark, path, crawl, "text", capacity)
+    val merged = Dedup.loadBloom(spark, path)
+    val allFps = corpus.unionByName(crawl)
+      .select(md5(col("text")).as("fp")).collect().map(_.getString(0))
+    assert(allFps.forall(merged.mightContainString),
+      "both generations' keys must hit after the fold")
+    // wrong bootstrap capacity → different sketch geometry → reject
+    intercept[IllegalArgumentException] {
+      Dedup.updateCorpusBloom(spark, path, crawl, "text", capacity * 64)
+    }
+    // empty crawl is a no-op fold, not a crash
+    Dedup.updateCorpusBloom(spark, path,
+      crawl.filter(lit(false)), "text", capacity)
+    assert(allFps.forall(Dedup.loadBloom(spark, path).mightContainString))
+  }
+
   test("corpusBloom save/load round-trip probes identically") {
     import spark.implicits._
     val corpus = (0 until 100)
