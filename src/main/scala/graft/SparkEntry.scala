@@ -608,6 +608,12 @@ object SparkEntry {
         Map("en" -> 10), defaultRate = 50)
         .select(col("doc_id"), col("lang"))
     }),
+    // ---- deterministic hash split: every doc gets exactly one of
+    // train/val/test, stable across runs/engines/cluster sizes ----
+    "tq_hash_split" -> ((s, dir) => {
+      graft.textops.TextOps.hashSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"), col("n_chars"))
+    }),
     // ---- training-batch assembly: token-budget sequence packing ----
     "tq_pack_sequences" -> ((s, dir) => {
       graft.textops.TextOps.packSequences(
@@ -1363,6 +1369,10 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)""".stripMargin,
+    "tq_hash_split" ->
+      s"""SELECT doc_id, ${graft.textops.TextOps.hashSplitSql("doc_id")}
+        |  AS split, n_chars
+        |FROM documents""".stripMargin,
     // mirrors GENERATED from the same TextOps builders (single source of
     // truth for the window frame / integer div / sqrt-rate arithmetic)
     "tq_pack_sequences" ->

@@ -1139,6 +1139,52 @@ object TextOps {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1048576 < r.rate""".stripMargin
 
+  // ---- deterministic corpus split (hash-assigned train/val/test) ----------
+
+  /** Split fractions as (label, percent), cumulative over a 100-bucket
+    * md5 hash of the id — the SINGLE SOURCE OF TRUTH for [[hashSplit]]
+    * and [[hashSplitSql]]. Percents must sum to 100 (every row gets
+    * exactly one label).
+    */
+  val defaultSplits: Seq[(String, Int)] =
+    Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  /** Assign every document a deterministic split label by hashing its id
+    * into 100 buckets (train/val/test partition of the corpus; the
+    * id-hash makes the assignment stable across runs, engines, cluster
+    * sizes and re-shuffles — a row's split NEVER depends on which
+    * executor saw it, unlike randomSplit). Narrow: runs inside the scan
+    * stage, zero shuffle at any corpus size.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)] = defaultSplits): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    val b = md5Bucket(col(idCol), 100L)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val labeled = splits.zip(cum).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case (((label, _), hi), acc) =>
+        when(b < hi, lit(label)).otherwise(acc)
+      }
+    docs.withColumn("split", labeled)
+  }
+
+  /** DuckDB mirror of the [[hashSplit]] label expression over `idExpr`,
+    * generated from the same split table.
+    */
+  def hashSplitSql(idExpr: String,
+      splits: Seq[(String, Int)] = defaultSplits): String = {
+    val bucket = s"CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8))" +
+      s" AS BIGINT) % 100"
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val whens = splits.zip(cum).dropRight(1)
+      .map { case ((label, _), hi) => s"WHEN $bucket < $hi THEN '$label'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
   // ---- per-domain document cap (C4/RefinedWeb host quota) -----------------
 
   /** Keep at most `k` documents per domain, by a deterministic priority

@@ -132,6 +132,33 @@ class NormalizeBloomSpec extends AnyFunSuite {
       "expected WindowGroupLimitExec in:\n" + executed.take(1200))
   }
 
+  test("hashSplit: total coverage, stability across parallelism, custom splits") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(_.toLong).toDF("doc_id")
+    val got = TextOps.hashSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 1000, "every row labeled exactly once")
+    val byLabel = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 80/10/10 within a loose tolerance at n=1000
+    assert(byLabel("train") > 700 && byLabel("train") < 900, byLabel)
+    assert(byLabel("val") > 50 && byLabel("val") < 180, byLabel)
+    // assignment is a pure function of the id — repartitioning (any
+    // cluster size / shuffle layout) cannot move a row between splits
+    val re = TextOps.hashSplit(docs.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+    // custom split table flows through both the labels and the cut points
+    val fine = TextOps.hashSplit(docs, "doc_id",
+      Seq("a" -> 50, "b" -> 30, "c" -> 20))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fine.keySet == Set("a", "b", "c") && fine("a") > fine("c"))
+    intercept[IllegalArgumentException] {
+      TextOps.hashSplit(docs, "doc_id", Seq("a" -> 60, "b" -> 30))
+    }
+  }
+
   test("updateCorpusBloom folds a crawl in; capacity mismatch rejected") {
     import spark.implicits._
     val capacity = 1000L
