@@ -608,6 +608,12 @@ object SparkEntry {
         Map("en" -> 10), defaultRate = 50)
         .select(col("doc_id"), col("lang"))
     }),
+    // ---- keyword extraction: top-3 terms per doc, integer-exact
+    // (tf DESC, df ASC, term ASC) ranking — no float idf ----
+    "tq_keywords" -> ((s, dir) => {
+      graft.textops.TextOps.keywords(t(s, dir, "documents"),
+        "doc_id", "text", 3)
+    }),
     // ---- deterministic hash split: every doc gets exactly one of
     // train/val/test, stable across runs/engines/cluster sizes ----
     "tq_hash_split" -> ((s, dir) => {
@@ -1373,6 +1379,8 @@ object SparkEntry {
       s"""SELECT doc_id, ${graft.textops.TextOps.hashSplitSql("doc_id")}
         |  AS split, n_chars
         |FROM documents""".stripMargin,
+    "tq_keywords" ->
+      graft.textops.TextOps.keywordsSql("documents", 3),
     // mirrors GENERATED from the same TextOps builders (single source of
     // truth for the window frame / integer div / sqrt-rate arithmetic)
     "tq_pack_sequences" ->

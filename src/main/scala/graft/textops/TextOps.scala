@@ -1139,6 +1139,61 @@ object TextOps {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1048576 < r.rate""".stripMargin
 
+  // ---- keyword extraction (integer-exact tf/df ranking) -------------------
+
+  /** Top-k characteristic terms per document, ranked by (tf DESC, df ASC,
+    * term ASC) — term frequency first, corpus document-frequency as the
+    * stopword demoter. The lexicographic integer ranking is chosen over
+    * float tf·idf ON PURPOSE: ln() is not correctly-rounded and differs
+    * across engines (the same pitfall that made the fluency score use
+    * binary digit counts), while this ordering is integer-exact and
+    * engine-stable, and demotes ubiquitous terms the same way idf does.
+    *
+    * Scale shape: one groupBy(doc,term) partial-aggregated tf, one
+    * vocab-sized groupBy(term) df reduced FROM the tf table (not a second
+    * corpus scan), a term-keyed join (broadcastable vocab at small corpora,
+    * SMJ at web scale — both correct), then the rank filter that rewrites
+    * to WindowGroupLimitExec (O(k) per doc, no full-partition buffering).
+    */
+  def keywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** DuckDB mirror of [[keywords]] over a (doc_id, text) table. */
+  def keywordsSql(table: String, k: Int): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(coalesce(text, '')), ' +'),
+       |    x -> len(x) > 0)) AS term
+       |  FROM $table),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       |SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+       |  FROM tf JOIN df USING (term))
+       |WHERE rk <= $k""".stripMargin
+
   // ---- deterministic corpus split (hash-assigned train/val/test) ----------
 
   /** Split fractions as (label, percent), cumulative over a 100-bucket

@@ -43,8 +43,8 @@ object PlanCheck {
       // normalization (narrow codegen expression chain), bloom membership
       // (definite-new rows bypass the anti-join shuffle entirely)
       "tq_cdc_chunks", "tq_normalize_text", "dedup_bloom_membership",
-      // domain cap: the rank-filter must rewrite to WindowGroupLimitExec
-      "tq_domain_cap")
+      // rank-filters must rewrite to WindowGroupLimitExec
+      "tq_domain_cap", "tq_keywords")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan

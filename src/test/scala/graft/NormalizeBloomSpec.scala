@@ -132,6 +132,28 @@ class NormalizeBloomSpec extends AnyFunSuite {
       "expected WindowGroupLimitExec in:\n" + executed.take(1200))
   }
 
+  test("keywords: tf-first ranking, df demotes stopwords, O(k) plan") {
+    import spark.implicits._
+    // 'the' appears in every doc (df=4); each doc has a unique term with
+    // the SAME tf as its 'the' count — df must break the tie against it
+    val docs = Seq(
+      (1L, "the the alpha alpha beta"),
+      (2L, "the the gamma gamma"),
+      (3L, "the delta"),
+      (4L, "the epsilon epsilon epsilon")).toDF("doc_id", "text")
+    val out = TextOps.keywords(docs, "doc_id", "text", 2)
+    val top = out.filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: alpha tf=2 ties the(tf=2) but df 1 < 4 → alpha wins
+    assert(top == Map(1L -> "alpha", 2L -> "gamma", 3L -> "delta",
+      4L -> "epsilon"))
+    assert(out.groupBy("doc_id").count().collect()
+      .forall(_.getLong(1) == 2L), "k=2 rows per doc")
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("WindowGroupLimit"),
+      "expected WindowGroupLimitExec in:\n" + executed.take(1200))
+  }
+
   test("hashSplit: total coverage, stability across parallelism, custom splits") {
     import spark.implicits._
     val docs = (0 until 1000).map(_.toLong).toDF("doc_id")
