@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names: dump only those queries (local iteration;
-    // the driver always passes exactly two args → full dump)
+    // the driver always passes exactly two args → full dump). A typo'd
+    // name must fail HERE, not as a confusing missing-parquet error in
+    // the downstream oracle compare.
     val only = args.drop(2).toSet
+    require(only.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${only.diff(SparkEntry.queries.keySet).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

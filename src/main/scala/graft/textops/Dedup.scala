@@ -440,20 +440,31 @@ object Dedup {
     // expectedItems > 0 fixes the capacity up front — REQUIRED when the
     // bloom will grow via updateCorpusBloom (bit arrays can't resize, so
     // bootstrap with the eventual corpus size); default sizes to the
-    // current corpus for one-shot use
-    val n = if (expectedItems > 0L) expectedItems else keys.count()
-    // zero-row aggregate leaves the sketch's bit buffer null — an empty
-    // corpus gets a valid empty filter instead (mightContain always false)
-    if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-    else if (keys.isEmpty)
-      org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
-    else keys.stat.bloomFilter("fp", n, fpp)
+    // current corpus for one-shot use. A zero-row sketch aggregate leaves
+    // the bit buffer null, so empty inputs get a valid empty filter
+    // (mightContain always false) — probed via count() on the default
+    // path (where the count is needed anyway) and isEmpty on the
+    // explicit-capacity path (no second corpus scan when count() already
+    // proved n > 0).
+    if (expectedItems > 0L) {
+      if (keys.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else keys.stat.bloomFilter("fp", expectedItems, fpp)
+    } else {
+      val n = keys.count()
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else keys.stat.bloomFilter("fp", n, fpp)
+    }
   }
 
   /** Persist a corpus bloom through the Hadoop FS API (any supported
     * scheme; the crawl-N+1 job loads it instead of re-scanning the
-    * corpus). Write-then-rename for the same torn-write safety as the
-    * snapshot manifests.
+    * corpus). Overwrite is crash-safe at every step: write tmp → rename
+    * the live file ASIDE (.prev) → rename tmp in → drop the backup. A
+    * death in any window leaves either the old or the new filter
+    * loadable ([[loadBloom]] falls back to `.prev` when the live file is
+    * missing) — a plain delete-then-rename would destroy the committed
+    * artifact before its replacement exists.
     */
   def saveBloom(
       spark: SparkSession,
@@ -463,10 +474,15 @@ object Dedup {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(path + ".tmp")
+    val prev = new HPath(path + ".prev")
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
+    if (fs.exists(prev)) fs.delete(prev, false)
+    if (fs.exists(p)) require(fs.rename(p, prev),
+      s"saveBloom: backup rename $p -> $prev failed")
     require(fs.rename(tmp, p), s"saveBloom: rename $tmp -> $p failed")
+    fs.delete(prev, false)
+    ()
   }
 
   def loadBloom(
@@ -475,7 +491,9 @@ object Dedup {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    // a writer that died between its two renames leaves only the backup
+    val src = if (fs.exists(p)) p else new HPath(path + ".prev")
+    val in = fs.open(src)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
   }
@@ -487,8 +505,14 @@ object Dedup {
     * corpus at creation time — bloom bit arrays cannot grow): the delta
     * is built with the same parameters so the sketches are mergeable;
     * mismatched capacity is rejected up front rather than silently
-    * degrading the fpp. Load → mergeInPlace → atomic re-save
-    * (write-then-rename, same torn-write safety as [[saveBloom]]).
+    * degrading the fpp. Load → mergeInPlace → crash-safe re-save via
+    * [[saveBloom]], with the same OPTIMISTIC concurrency stance as
+    * [[commitCrawlSigs]]: the live file's (length, modTime) signature is
+    * captured at load and re-checked just before the save — a concurrent
+    * updater raises loudly instead of having its keys silently
+    * overwritten (lost bloom keys become FALSE NEGATIVES, i.e. dropped-
+    * duplicate documents passing as new — the one failure mode a bloom
+    * must never have).
     */
   def updateCorpusBloom(
       spark: SparkSession,
@@ -497,6 +521,15 @@ object Dedup {
       textCol: String,
       expectedItems: Long,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def signature(): Option[(Long, Long)] =
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p)
+        Some((st.getLen, st.getModificationTime))
+      } else None
+    val sigAtLoad = signature()
     val stored = loadBloom(spark, path)
     val keys = newDocs.select(contentFp(textCol).as("fp"))
     val delta =
@@ -507,6 +540,9 @@ object Dedup {
       s"updateCorpusBloom: stored bloom at $path was built with different " +
         s"capacity parameters than (expectedItems=$expectedItems, fpp=$fpp)")
     stored.mergeInPlace(delta)
+    require(signature() == sigAtLoad,
+      s"updateCorpusBloom: concurrent update detected at $path " +
+        "(file changed since load); re-run this crawl's update")
     saveBloom(spark, stored, path)
     stored
   }
@@ -529,7 +565,14 @@ object Dedup {
     * The probe itself is a broadcast-read UDF — no public might_contain
     * expression exists (Spark's BloomFilterMightContain is optimizer-
     * internal), and the O(1)-per-row probe is not the bottleneck the
-    * shuffle it removes was. Within-crawl duplicates are NOT collapsed
+    * shuffle it removes was. COST NOTE: the two branches are independent
+    * filters over the same uncached projection, so the crawl source is
+    * scanned (and md5+bloom-probed) twice — deliberate: two NARROW scans
+    * of the crawl are the price of removing the corpus-wide shuffle for
+    * the definite-new majority, and caching a 100 TB crawl to avoid the
+    * second scan would cost more than it saves (persist the projection
+    * yourself at small scale if the input is expensive to recompute).
+    * Within-crawl duplicates are NOT collapsed
     * here (that is exact dedup's job); each new row is judged against the
     * corpus independently, like the SQL anti-join.
     */

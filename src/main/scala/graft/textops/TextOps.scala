@@ -1235,9 +1235,11 @@ object TextOps {
       s" AS BIGINT) % 100"
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val whens = splits.zip(cum).dropRight(1)
-      .map { case ((label, _), hi) => s"WHEN $bucket < $hi THEN '$label'" }
+      .map { case ((label, _), hi) =>
+        s"WHEN $bucket < $hi THEN ${sqlLit(label)}"
+      }
       .mkString(" ")
-    s"CASE $whens ELSE '${splits.last._1}' END"
+    s"CASE $whens ELSE ${sqlLit(splits.last._1)} END"
   }
 
   // ---- per-domain document cap (C4/RefinedWeb host quota) -----------------

@@ -227,5 +227,11 @@ class NormalizeBloomSpec extends AnyFunSuite {
     // idempotent overwrite (the write-then-rename path with existing file)
     Dedup.saveBloom(spark, bf, path)
     assert(fps.forall(Dedup.loadBloom(spark, path).mightContainString))
+    // crash window: a writer that died after renaming the live file aside
+    // leaves only the .prev backup — loadBloom must fall back to it
+    val f = new java.io.File(path)
+    assert(f.renameTo(new java.io.File(path + ".prev")))
+    assert(fps.forall(Dedup.loadBloom(spark, path).mightContainString),
+      "load must recover from the backup when the live file is missing")
   }
 }
