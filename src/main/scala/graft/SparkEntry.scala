@@ -687,6 +687,43 @@ object SparkEntry {
       graft.textops.TextOps.domainCap(
         t(s, dir, "documents"), "doc_id", "source", "n_chars", 10)
     }),
+    // ---- host-graph PageRank over planted links (integer fixed-point;
+    // the RefinedWeb-style domain-ranking curation signal). Links are
+    // planted three ways so the graph has real structure: a src->src ring
+    // (multi-hop flow that makes 3 power iterations meaningful), a hub
+    // every third doc, and a fan of site<k> leaves ----
+    "web_host_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+      val aug = docs.withColumn("text", concat(
+        coalesce(col("text"), lit("")),
+        lit(" link https://src"), ((col("doc_id") + 1) % 20).cast("string"),
+        lit("/page"),
+        when(col("doc_id") % 3 === 0,
+          lit(" see https://hub.example.com/x")).otherwise(lit("")),
+        lit(" via https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.net/p")))
+      graft.textops.WebGraph.hostRank(
+        graft.textops.WebGraph.hostGraphEdges(aug, "source", "text"), 3)
+    }),
+    // ---- model-based quality filter: count-trained linear classifier
+    // (fastText/DCLM shape) — train on the hash-assigned 'train' split
+    // with lang='en' as the demo label, score the whole corpus ----
+    "tq_classifier_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = graft.textops.TextOps.hashSplit(docs, "doc_id")
+        .filter(col("split") === "train")
+        .withColumn("y", col("lang") === "en")
+      val w = graft.textops.Classifier.classifierWeights(
+        labeled, "text", "y", 3L)
+      graft.textops.Classifier.classifierScore(docs, "doc_id", "text", w)
+    }),
+    // ---- dataset-card corpus statistics (per-lang × quality-bucket
+    // doc/char/word mass; fixed buckets, not quantiles — one partial agg) --
+    "tq_corpus_stats" -> ((s, dir) => {
+      graft.textops.TextOps.corpusStats(
+        t(s, dir, "documents"), "text", "lang")
+    }),
     // ---- benchmark-contamination scan (train/test leakage check) ----
     "tq_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1381,6 +1418,26 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "tq_keywords" ->
       graft.textops.TextOps.keywordsSql("documents", 3),
+    // the planted-link augmentation mirrors the Spark query's concat; the
+    // rank derivation itself is GENERATED from the same WebGraph constants
+    "web_host_rank" -> {
+      val aug = """SELECT doc_id, source,
+        |  coalesce(text, '')
+        |  || ' link https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+        |  || '/page'
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN ' see https://hub.example.com/x' ELSE '' END
+        |  || ' via https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |  || '.example.net/p' AS text
+        |FROM documents""".stripMargin
+      s"WITH aug AS ($aug),\n" +
+        graft.textops.WebGraph.hostRankSql("aug", 3).stripPrefix("WITH ")
+    },
+    "tq_classifier_score" ->
+      graft.textops.Classifier.classifierSql(
+        "documents", "doc_id", "lang = 'en'", 3L),
+    "tq_corpus_stats" ->
+      graft.textops.TextOps.corpusStatsSql("documents"),
     // mirrors GENERATED from the same TextOps builders (single source of
     // truth for the window frame / integer div / sqrt-rate arithmetic)
     "tq_pack_sequences" ->

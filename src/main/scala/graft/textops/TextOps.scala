@@ -571,6 +571,46 @@ object TextOps {
        |  CAST(sum(q) AS BIGINT) AS sum_quality_x1e6
        |FROM ex GROUP BY host""".stripMargin
 
+  /** Dataset-card corpus statistics (the "data card" summary a training
+    * corpus ships with — Gebru et al. 2021, "Datasheets for Datasets"):
+    * per (language, quality-decile-bucket) document counts, character and
+    * word-token mass. The quality bucket is the integer-scaled
+    * [[qualityScoreX1e6]] floor-divided into 10 buckets of 0.1 — a
+    * fixed-bucket histogram instead of ntile/percentile, because a global
+    * quantile needs a total sort while fixed buckets are ONE
+    * partial-aggregated groupBy at any corpus size.
+    */
+  def corpusStats(
+      docs: DataFrame,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, " +", -1), w => length(w) > 0)
+    docs
+      .select(col(langCol).as("lang"),
+        qualityScoreX1e6(col(textCol)).as("q"),
+        length(t).cast("long").as("nc"),
+        size(words).cast("long").as("nw"))
+      .groupBy(col("lang"), expr("q div 100000").as("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("sum_chars"),
+        sum(col("nw")).as("sum_words"))
+  }
+
+  /** DuckDB mirror of [[corpusStats]] over a (text, lang) table. */
+  def corpusStatsSql(table: String): String =
+    s"""WITH ex AS (SELECT lang,
+       |    ${qualityScoreX1e6Sql("text")} AS q,
+       |    length(coalesce(text, '')) AS nc,
+       |    len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+       |        w -> length(w) > 0)) AS nw
+       |  FROM $table)
+       |SELECT lang, CAST(q // 100000 AS BIGINT) AS q_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+       |  CAST(sum(nw) AS BIGINT) AS sum_words
+       |FROM ex GROUP BY lang, q // 100000""".stripMargin
+
   /** Boilerplate line removal (the CCNet/RefinedWeb line-level cleanup:
     * Wenzek et al., "CCNet", 2020 §3 deduplicates at paragraph/line level):
     * a non-blank line occurring in at least `minDocs` DISTINCT documents is

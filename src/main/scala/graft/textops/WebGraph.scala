@@ -1,0 +1,143 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host-level link-graph analytics for web corpora: edge extraction from
+  * document text plus an integer-exact damped PageRank (Page et al. 1999,
+  * "The PageRank Citation Ranking") — the curation signal RefinedWeb /
+  * Common-Crawl-style pipelines use to rank domains for quality priors
+  * and crawl scheduling.
+  *
+  * Everything is fixed-point BIGINT arithmetic (ranks scaled by 10^6,
+  * floor division) so the distributed result is bit-identical to the
+  * generated DuckDB mirror — no float transport, no summation-order
+  * sensitivity.
+  */
+object WebGraph {
+
+  /** Rank fixed-point scale (rank 1.0 == 10^6). */
+  val rankScale = 1000000L
+
+  /** Damping factor as an integer percent (0.85). */
+  val dampPct = 85L
+
+  /** The teleport base every node receives each iteration:
+    * (1 - d) * scale, in integer math.
+    */
+  val rankBase: Long = (100L - dampPct) * rankScale / 100L
+
+  /** Directed host-graph edges from a corpus: one (src, dst) row per link
+    * occurrence (duplicates KEPT — a page linking a host 40 times casts 40
+    * weighted votes, matching the duplicate-host stance of
+    * [[TextOps.urlHosts]]). src is the document's own origin column, dst
+    * every linked host in the text; both lowercased (the host charset is
+    * ASCII by [[TextOps.urlHostPattern]], so `lower` agrees across
+    * engines). NULL endpoints are dropped — NULL join/group semantics
+    * differ between engines and a NULL host is not a node.
+    *
+    * Narrow: explode inside the scan stage, no shuffle.
+    */
+  def hostGraphEdges(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String): DataFrame = {
+    docs
+      .select(lower(col(srcCol)).as("src"),
+        explode(TextOps.urlHosts(col(textCol))).as("dst0"))
+      .select(col("src"), lower(col("dst0")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+  }
+
+  /** Damped PageRank over a (src, dst) edge table, `iterations` synchronous
+    * power-method steps, all integer:
+    *
+    *   contrib(e)  = rank(src) div outdeg(src)
+    *   rank'(v)    = rankBase + (dampPct * sum contrib(e into v)) div 100
+    *
+    * Nodes = distinct src ∪ dst; every node starts at [[rankScale]]; a node
+    * with no in-links settles at [[rankBase]]. Dangling mass (ranks of
+    * hosts with no out-links) is dropped rather than redistributed — the
+    * standard simplification; it rescales, never reorders. All divisions
+    * are floor divisions of non-negative BIGINTs, so Spark's `div` and
+    * DuckDB's `//` agree exactly.
+    *
+    * Scale shape: edges are hash-partitioned by `src` ONCE and persisted —
+    * each iteration's rank join then co-partitions on src (one exchange for
+    * the rank side, none for the corpus-sized edge side), and the
+    * `groupBy(dst)` transpose is the per-iteration shuffle PageRank cannot
+    * avoid (partial-aggregated map-side, so a hub host receives one merged
+    * row per partition, not a skewed fan-in). The rank table is |hosts|
+    * rows — millions at 100 TB, far smaller than the corpus but not
+    * broadcastable, hence the keyed joins. At production iteration counts
+    * (20+, to convergence) checkpoint every few iterations like
+    * [[graft.canon.Canon]] does; at the fixed small count here the lineage
+    * tree is shallow enough to leave lazy.
+    */
+  def hostRank(
+      edges0: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      val outdeg = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+      // (src, dst, deg): reuses edges' src partitioning — AQE sees both
+      // sides pre-partitioned on src, no extra exchange for the edge side
+      val withDeg = edges.join(outdeg, Seq("src"))
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host")))
+        .distinct().persist()
+      var rank = nodes.select(col("host"),
+        lit(rankScale).as("rank_x1e6"))
+      for (_ <- 1 to iterations) {
+        val contrib = withDeg
+          .join(rank, col("src") === col("host"))
+          .select(col("dst"), expr("rank_x1e6 div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        rank = nodes.join(contrib, col("host") === col("dst"), "left")
+          .select(col("host"),
+            expr(s"CAST($rankBase + ($dampPct * coalesce(m, CAST(0 AS BIGINT)))" +
+              " div 100 AS BIGINT)").as("rank_x1e6"))
+      }
+      // materialize before releasing the persisted inputs the lineage needs
+      val out = rank.localCheckpoint(true)
+      nodes.unpersist()
+      out
+    } finally edges.unpersist()
+  }
+
+  /** DuckDB mirror of [[hostGraphEdges]] + [[hostRank]] over a
+    * (source, text) table — generated from the same constants and the same
+    * iteration count, one CTE layer per power step.
+    */
+  def hostRankSql(table: String, iterations: Int = 3): String = {
+    val pat = TextOps.urlHostPattern.replace("'", "''")
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.host,
+         |    CAST($rankBase + ($dampPct * coalesce(s.m, 0)) // 100 AS BIGINT)
+         |      AS rank_x1e6
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS host, sum(r.rank_x1e6 // o.deg) AS m
+         |    FROM ex e
+         |    JOIN r${i - 1} r ON e.src = r.host
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.host = s.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH exr AS (
+       |  SELECT lower(source) AS src,
+       |    unnest(regexp_extract_all(coalesce(text, ''), '$pat', 1)) AS dst0
+       |  FROM $table),
+       |ex AS (
+       |  SELECT src, lower(dst0) AS dst FROM exr
+       |  WHERE src IS NOT NULL AND dst0 IS NOT NULL),
+       |outdeg AS (SELECT src, count(*) AS deg FROM ex GROUP BY src),
+       |nodes AS (SELECT src AS host FROM ex UNION SELECT dst FROM ex),
+       |r0 AS (SELECT host, CAST($rankScale AS BIGINT) AS rank_x1e6
+       |       FROM nodes),
+       |$iters
+       |SELECT host, rank_x1e6 FROM r$iterations""".stripMargin
+  }
+}

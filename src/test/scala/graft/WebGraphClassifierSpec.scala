@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.textops.{Classifier, TextOps, WebGraph}
+
+/** Pins the integer PageRank arithmetic (hand-computed 3-iteration
+  * expectations), the edge-extraction contract, and the rate-difference
+  * classifier weights.
+  */
+class WebGraphClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("hostRank: hand-computed 3-iteration fixed-point ranks") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c; scale 1e6, base 150000, damp 85%:
+    //   iter1: a 150000, b 575000, c 1425000
+    //   iter2: a 150000, b 213750, c 702500
+    //   iter3: a 150000, b 213750, c 395437  (floor of 245437.5 + base)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = WebGraph.hostRank(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 150000L, "b" -> 213750L, "c" -> 395437L))
+  }
+
+  test("hostRank: duplicate edges are weighted votes; sink keeps base") {
+    import spark.implicits._
+    // a -> b twice: outdeg(a)=2, both contribs land on b:
+    //   b after 1 iter = 150000 + 85*(2*(1e6 div 2)) div 100 = 1000000
+    val edges = Seq(("a", "b"), ("a", "b")).toDF("src", "dst")
+    val got = WebGraph.hostRank(edges, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 150000L, "b" -> 1000000L))
+  }
+
+  test("hostGraphEdges: lowercased, NULL endpoints dropped, dups kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some("SrcA"), Some("see https://X.Example.com/a and https://x.example.com/b")),
+      (Some("srcB"), None),                    // null text -> no edges
+      (None: Option[String], Some("https://y.org/z")) // null src -> dropped
+    ).toDF("source", "text")
+    val edges = WebGraph.hostGraphEdges(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(edges.toSeq.sorted == Seq(
+      ("srca", "x.example.com"), ("srca", "x.example.com")))
+  }
+
+  test("classifier: rate-difference weights and verdicts, hand-computed") {
+    import spark.implicits._
+    // tpos = 2 ("good" x2), tneg = 3 ("bad" x3):
+    //   w(good) = 2*1e6 div 2 - 0 = 1000000
+    //   w(bad)  = 0 - 3*1e6 div 3 = -1000000
+    val train = Seq(("good good", true), ("bad bad bad", false))
+      .toDF("text", "y")
+    val w = Classifier.classifierWeights(train, "text", "y", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w == Map("good" -> 1000000L, "bad" -> -1000000L))
+
+    val docs = Seq(
+      (1L, "good bad"),   // 0 -> keep (boundary)
+      (2L, "bad bad"),    // -2e6 -> drop
+      (3L, "good"),       // +1e6 -> keep
+      (4L, "zzz")         // no vocabulary hit -> score 0, keep
+    ).toDF("doc_id", "text")
+    val scored = Classifier.classifierScore(docs, "doc_id", "text",
+      Classifier.classifierWeights(train, "text", "y", minCount = 1L))
+    val rows = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(1L) == ((0L, 2L, "keep")))
+    assert(rows(2L) == ((-2000000L, 2L, "drop")))
+    assert(rows(3L) == ((1000000L, 1L, "keep")))
+    assert(rows(4L) == ((0L, 0L, "keep")))
+    // the weight lookup must be a broadcast join — a term-keyed shuffle
+    // would re-expose the Zipfian skew the design avoids
+    assert(scored.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("classifierWeights: minCount cut bounds the vocabulary") {
+    import spark.implicits._
+    val train = Seq(("rare rare common common common", true)).toDF("text", "y")
+    val w = Classifier.classifierWeights(train, "text", "y", minCount = 3L)
+      .collect().map(_.getString(0)).toSet
+    assert(w == Set("common"))
+  }
+
+  test("corpusStats: masses add up; empty text lands in bucket 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", ""),
+      ("de", "der hund")
+    ).toDF("lang", "text")
+    val out = TextOps.corpusStats(docs, "text", "lang").collect()
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang("en").map(_.getLong(2)).sum == 2) // n_docs
+    assert(byLang("de").map(_.getLong(2)).sum == 1)
+    assert(out.map(_.getLong(3)).sum == docs.collect()
+      .map(_.getString(1).length.toLong).sum) // sum_chars conserved
+    // the empty doc: q = 0 -> bucket 0, zero chars/words
+    val zero = out.filter(r => r.getString(0) == "en" && r.getLong(1) == 0L)
+    assert(zero.length == 1 && zero.head.getLong(2) == 1L &&
+      zero.head.getLong(4) == 0L)
+  }
+}
