@@ -630,6 +630,15 @@ object SparkEntry {
       graft.textops.TextOps.domainMixSample(
         t(s, dir, "documents"), "doc_id", "source")
     }),
+    // ---- epoch-aware up-sampling materialization (the mix's consumer:
+    // one row per (doc, epoch), rare domains repeated toward the largest,
+    // capped at 4 epochs). Domain = lang, the SKEWED column of the test
+    // corpus (en 2-3x the rest), so whole-epoch fan-out AND fractional
+    // remainders are both exercised on real rows ----
+    "tq_domain_epochs" -> ((s, dir) => {
+      graft.textops.TextOps.domainEpochSample(
+        t(s, dir, "documents"), "doc_id", "lang", 4)
+    }),
     // ---- the composed corpus-prep pipeline (the "user story" query):
     // quality filter → exact keep-first dedup → chunk → pack, each stage a
     // proven operator, oracled end-to-end by composing the generated
@@ -1444,6 +1453,8 @@ object SparkEntry {
       graft.textops.TextOps.packSequencesSql("documents", 2048L),
     "tq_domain_mix" ->
       graft.textops.TextOps.domainMixSampleSql("documents"),
+    "tq_domain_epochs" ->
+      graft.textops.TextOps.domainEpochSampleSql("documents", "lang", 4),
     "tq_domain_cap" ->
       graft.textops.TextOps.domainCapSql("documents", 10),
     "tq_chunk_docs" ->

@@ -1179,6 +1179,88 @@ object TextOps {
        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1048576 < r.rate""".stripMargin
 
+  /** Epoch-aware up-sampling materialization — the consumer of a
+    * temperature rebalance that actually EMITS the repeated training mix
+    * (one output row per (document, epoch)). Rates go the other direction
+    * from [[domainMixSample]]: a domain d is repeated
+    * sqrt(n_max / n_d) times (alpha = 0.5 toward the LARGEST domain), so
+    * rare domains gain whole epochs plus a fractional remainder epoch
+    * sampled by id-hash, capped at `maxEpochs` — the data-constrained
+    * repetition ceiling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": ~4 epochs of repeated data are
+    * near-as-good as fresh; beyond that returns decay, so mixes cap it).
+    *
+    * Integer-exact by the same construction as [[domainMixSample]]:
+    * IEEE-correctly-rounded sqrt, 2^20 power-of-two rate scaling,
+    * md5-uniform compare — so
+    * n_copies(doc) = rate div 2^20 + [hash(id) < rate mod 2^20]
+    * is the same on any engine or cluster size. The whole-epoch part is
+    * identical for every doc of the domain; only the remainder epoch is
+    * per-doc sampled. The largest domain's rate is exactly 2^20 (sqrt(1)),
+    * i.e. one epoch, no remainder.
+    *
+    * Scale shape: tiny domain histogram broadcast back (same as the mix),
+    * then a NARROW per-row explode of `sequence(1, n_copies)` — n_copies
+    * ≤ maxEpochs, so the blow-up is bounded and row-local; zero shuffle
+    * beyond the histogram. Output (id, domain, epoch) with epoch in
+    * [1, n_copies].
+    */
+  def domainEpochSample(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val scale = 1048576L
+    val nonNull = docs.filter(col(domainCol).isNotNull)
+    val counts = nonNull.groupBy(col(domainCol)).agg(count(lit(1)).as("nd"))
+    val nmax = counts.agg(max(col("nd")).as("nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col(domainCol),
+        least(
+          floor(sqrt(col("nmax").cast("double") / col("nd")) * scale.toDouble)
+            .cast("long"),
+          lit(maxEpochs * scale)).as("rate_x2p20"))
+    nonNull.join(broadcast(rates), Seq(domainCol))
+      .withColumn("n_copies",
+        expr(s"rate_x2p20 div $scale") +
+          when(md5Bucket(col(idCol), scale) < col("rate_x2p20") % scale, 1L)
+            .otherwise(0L))
+      // rate >= 2^20 always (nd <= nmax), so n_copies >= 1; the guard only
+      // protects the explode from sequence(1, 0)'s DESCENDING surprise if
+      // a future caller feeds sub-1 rates
+      .withColumn("epoch",
+        explode(when(col("n_copies") >= 1L,
+          sequence(lit(1L), col("n_copies")))
+          .otherwise(lit(null).cast("array<bigint>"))))
+      .select(col(idCol), col(domainCol), col("epoch"))
+  }
+
+  /** DuckDB mirror of [[domainEpochSample]] over a (doc_id, domainCol)
+    * table — same histogram, rate arithmetic and hash remainder; the
+    * epoch fan-out is a LATERAL unnest of generate_series (empty below 1,
+    * matching the guarded explode).
+    */
+  def domainEpochSampleSql(
+      table: String, domainCol: String = "source",
+      maxEpochs: Int = 4): String =
+    s"""WITH c AS (SELECT $domainCol, count(*) AS nd FROM $table
+       |           WHERE $domainCol IS NOT NULL GROUP BY $domainCol),
+       |m AS (SELECT max(nd) AS nmax FROM c),
+       |r AS (SELECT $domainCol,
+       |        least(CAST(floor(sqrt(CAST(nmax AS DOUBLE) / nd) * 1048576)
+       |                AS BIGINT), CAST(${maxEpochs.toLong * 1048576L} AS BIGINT)) AS rate
+       |      FROM c, m),
+       |d AS (SELECT t.doc_id, t.$domainCol,
+       |        r.rate // 1048576 +
+       |        CASE WHEN CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),
+       |                          1, 8)) AS BIGINT) % 1048576
+       |                  < r.rate % 1048576
+       |             THEN 1 ELSE 0 END AS n
+       |      FROM $table t JOIN r ON t.$domainCol = r.$domainCol)
+       |SELECT doc_id, $domainCol, CAST(k AS BIGINT) AS epoch
+       |FROM d, LATERAL unnest(generate_series(1, n)) u(k)""".stripMargin
+
   // ---- keyword extraction (integer-exact tf/df ranking) -------------------
 
   /** Top-k characteristic terms per document, ranked by (tf DESC, df ASC,

@@ -86,6 +86,36 @@ class WebGraphClassifierSpec extends AnyFunSuite {
     assert(w == Set("common"))
   }
 
+  test("domainEpochSample: whole epochs + hash remainder, capped, largest=1") {
+    import spark.implicits._
+    // domains: big x16, rare x1 -> rate(rare) = sqrt(16) = 4.0 -> exactly
+    // 4 whole epochs, zero remainder; rate(big) = sqrt(1) = 1 epoch.
+    val docs = ((1L to 16L).map(i => (i, "big")) :+ (100L, "rare"))
+      .toDF("doc_id", "source")
+    val out = TextOps.domainEpochSample(docs, "doc_id", "source", 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count(_._2 == "big") == 16)         // 1 epoch each
+    assert(out.filter(_._2 == "big").map(_._3).forall(_ == 1L))
+    assert(out.count(_._2 == "rare") == 4)         // 4 epochs, no 5th
+    assert(out.filter(_._2 == "rare").map(_._3).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // cap bites: 100x imbalance at maxEpochs=2 -> rare repeated exactly 2x
+    val skew = ((1L to 100L).map(i => (i, "big")) :+ (999L, "rare"))
+      .toDF("doc_id", "source")
+    val capped = TextOps.domainEpochSample(skew, "doc_id", "source", 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(capped.count(_._1 == "rare") == 2)
+    // fractional remainder: big x4, rare x1 -> rate = 2.0 exact (no
+    // remainder); big x2, rare x1 -> sqrt(2) ~ 1.414: rare gets 1 whole
+    // epoch plus an id-hash-sampled 2nd -> either 1 or 2 rows, epoch set
+    // is a prefix
+    val frac = ((1L to 2L).map(i => (i, "big")) :+ (7L, "rare"))
+      .toDF("doc_id", "source")
+    val fr = TextOps.domainEpochSample(frac, "doc_id", "source", 4)
+      .collect().filter(_.getString(1) == "rare").map(_.getLong(2)).sorted
+    assert(fr.toSeq == Seq(1L) || fr.toSeq == Seq(1L, 2L))
+  }
+
   test("corpusStats: masses add up; empty text lands in bucket 0") {
     import spark.implicits._
     val docs = Seq(
