@@ -28,6 +28,32 @@ object SparkEntry {
     * (single source of truth for the Spark query and its SQL mirror).
     */
   private val plantedDupLine = "this line repeats"
+
+  /** Planted host-graph links shared by web_host_rank and web_host_hits:
+    * a src->src ring (multi-hop flow that makes 3 power iterations
+    * meaningful), a hub every third doc, and a fan of site<k> leaves.
+    * Spark and SQL forms generated side by side (single source of truth).
+    */
+  private def plantedLinkAug(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      coalesce(col("text"), lit("")),
+      lit(" link https://src"), ((col("doc_id") + 1) % 20).cast("string"),
+      lit("/page"),
+      when(col("doc_id") % 3 === 0,
+        lit(" see https://hub.example.com/x")).otherwise(lit("")),
+      lit(" via https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.net/p")))
+
+  private val plantedLinkAugSql: String =
+    """SELECT doc_id, source,
+      |  coalesce(text, '')
+      |  || ' link https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+      |  || '/page'
+      |  || CASE WHEN doc_id % 3 = 0
+      |       THEN ' see https://hub.example.com/x' ELSE '' END
+      |  || ' via https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |  || '.example.net/p' AS text
+      |FROM documents""".stripMargin
   private val plantedDupCount = 6
 
   /** Planted messy-URL variants for tq_url_canon (single source of truth
@@ -702,17 +728,16 @@ object SparkEntry {
     // (multi-hop flow that makes 3 power iterations meaningful), a hub
     // every third doc, and a fan of site<k> leaves ----
     "web_host_rank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        col("text"))
-      val aug = docs.withColumn("text", concat(
-        coalesce(col("text"), lit("")),
-        lit(" link https://src"), ((col("doc_id") + 1) % 20).cast("string"),
-        lit("/page"),
-        when(col("doc_id") % 3 === 0,
-          lit(" see https://hub.example.com/x")).otherwise(lit("")),
-        lit(" via https://site"), (col("doc_id") % 7).cast("string"),
-        lit(".example.net/p")))
+      val aug = plantedLinkAug(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
       graft.textops.WebGraph.hostRank(
+        graft.textops.WebGraph.hostGraphEdges(aug, "source", "text"), 3)
+    }),
+    // ---- HITS hubs/authorities over the same planted host graph ----
+    "web_host_hits" -> ((s, dir) => {
+      val aug = plantedLinkAug(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+      graft.textops.WebGraph.hits(
         graft.textops.WebGraph.hostGraphEdges(aug, "source", "text"), 3)
     }),
     // ---- model-based quality filter: count-trained linear classifier
@@ -1428,20 +1453,13 @@ object SparkEntry {
     "tq_keywords" ->
       graft.textops.TextOps.keywordsSql("documents", 3),
     // the planted-link augmentation mirrors the Spark query's concat; the
-    // rank derivation itself is GENERATED from the same WebGraph constants
-    "web_host_rank" -> {
-      val aug = """SELECT doc_id, source,
-        |  coalesce(text, '')
-        |  || ' link https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
-        |  || '/page'
-        |  || CASE WHEN doc_id % 3 = 0
-        |       THEN ' see https://hub.example.com/x' ELSE '' END
-        |  || ' via https://site' || CAST(doc_id % 7 AS VARCHAR)
-        |  || '.example.net/p' AS text
-        |FROM documents""".stripMargin
-      s"WITH aug AS ($aug),\n" +
-        graft.textops.WebGraph.hostRankSql("aug", 3).stripPrefix("WITH ")
-    },
+    // rank/hits derivations are GENERATED from the same WebGraph constants
+    "web_host_rank" ->
+      (s"WITH aug AS ($plantedLinkAugSql),\n" +
+        graft.textops.WebGraph.hostRankSql("aug", 3).stripPrefix("WITH ")),
+    "web_host_hits" ->
+      (s"WITH aug AS ($plantedLinkAugSql),\n" +
+        graft.textops.WebGraph.hitsSql("aug", 3).stripPrefix("WITH ")),
     "tq_classifier_score" ->
       graft.textops.Classifier.classifierSql(
         "documents", "doc_id", "lang = 'en'", 3L),

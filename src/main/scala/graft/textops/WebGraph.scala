@@ -112,12 +112,26 @@ object WebGraph {
     } finally edges.unpersist()
   }
 
+  /** The shared edge-extraction + node CTE prefix of the SQL mirrors
+    * (exr/ex/nodes — the [[hostGraphEdges]] semantics in DuckDB).
+    */
+  private def edgeCtes(table: String): String = {
+    val pat = TextOps.urlHostPattern.replace("'", "''")
+    s"""exr AS (
+       |  SELECT lower(source) AS src,
+       |    unnest(regexp_extract_all(coalesce(text, ''), '$pat', 1)) AS dst0
+       |  FROM $table),
+       |ex AS (
+       |  SELECT src, lower(dst0) AS dst FROM exr
+       |  WHERE src IS NOT NULL AND dst0 IS NOT NULL),
+       |nodes AS (SELECT src AS host FROM ex UNION SELECT dst FROM ex)""".stripMargin
+  }
+
   /** DuckDB mirror of [[hostGraphEdges]] + [[hostRank]] over a
     * (source, text) table — generated from the same constants and the same
     * iteration count, one CTE layer per power step.
     */
   def hostRankSql(table: String, iterations: Int = 3): String = {
-    val pat = TextOps.urlHostPattern.replace("'", "''")
     val iters = (1 to iterations).map { i =>
       s"""r$i AS (
          |  SELECT n.host,
@@ -130,18 +144,111 @@ object WebGraph {
          |    JOIN outdeg o ON e.src = o.src
          |    GROUP BY e.dst) s ON n.host = s.host)""".stripMargin
     }.mkString(",\n")
-    s"""WITH exr AS (
-       |  SELECT lower(source) AS src,
-       |    unnest(regexp_extract_all(coalesce(text, ''), '$pat', 1)) AS dst0
-       |  FROM $table),
-       |ex AS (
-       |  SELECT src, lower(dst0) AS dst FROM exr
-       |  WHERE src IS NOT NULL AND dst0 IS NOT NULL),
+    s"""WITH ${edgeCtes(table)},
        |outdeg AS (SELECT src, count(*) AS deg FROM ex GROUP BY src),
-       |nodes AS (SELECT src AS host FROM ex UNION SELECT dst FROM ex),
        |r0 AS (SELECT host, CAST($rankScale AS BIGINT) AS rank_x1e6
        |       FROM nodes),
        |$iters
        |SELECT host, rank_x1e6 FROM r$iterations""".stripMargin
+  }
+
+  /** HITS fixed-point scale (score 1.0 == 2^20; power-of-two so the
+    * normalizing divisor `max div 2^20` is exact integer arithmetic).
+    */
+  val hitsScale = 1048576L
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
+    * Hyperlinked Environment") over a (src, dst) edge table, `iterations`
+    * synchronous rounds, all integer:
+    *
+    *   auth_raw(v) = Σ_{u→v} hub(u);   auth = auth_raw div (amax div S, min 1)
+    *   hub_raw(u)  = Σ_{u→v} auth(v);  hub  = hub_raw  div (hmax div S, min 1)
+    *
+    * Max-normalization (not L2 — no square roots in integer math) keeps
+    * scores in ~[0, 2S]. CRITICALLY the normalizer is TWO floor divisions
+    * rather than `raw * S div max`: the multiply form overflows Long once
+    * raw > 2^43 (a 10^7-in-link hub), while the division form never
+    * multiplies, so sums stay ≤ |E| · 2S ≈ 2·10^15 at 10^9 edges — safe at
+    * any web-graph size. All operands non-negative, so Spark `div` and
+    * DuckDB `//` agree exactly.
+    *
+    * A node with no in-links has authority 0; no out-links, hub 0. Same
+    * scale shape as [[hostRank]]: edges partitioned by one endpoint and
+    * persisted, the per-half-step transpose groupBy is the unavoidable
+    * shuffle (partial-aggregated), the max is a broadcast singleton, and
+    * scores are checkpointed per iteration (same re-codegen lesson).
+    * Output (host, hub_x2p20, auth_x2p20).
+    */
+  def hits(edges0: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      val nodes = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host")))
+        .distinct().persist()
+      var hub = nodes.select(col("host"), lit(hitsScale).as("s"))
+      var auth: DataFrame = null
+      for (_ <- 1 to iterations) {
+        val ar = edges.join(hub, col("src") === col("host"))
+          .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
+        val am = ar.agg(max(col("raw")).as("mx"))
+        auth = ar.crossJoin(broadcast(am))
+          .select(col("dst"),
+            expr(s"raw div greatest(mx div $hitsScale, CAST(1 AS BIGINT))")
+              .as("s"))
+          .localCheckpoint(true)
+        val hr = edges
+          .join(auth.withColumnRenamed("dst", "adst"),
+            col("dst") === col("adst"))
+          .groupBy(col("src")).agg(sum(col("s")).as("raw"))
+        val hm = hr.agg(max(col("raw")).as("mx"))
+        hub = hr.crossJoin(broadcast(hm))
+          .select(col("src").as("host"),
+            expr(s"raw div greatest(mx div $hitsScale, CAST(1 AS BIGINT))")
+              .as("s"))
+          .localCheckpoint(true)
+      }
+      val out = nodes
+        .join(hub.withColumnRenamed("s", "hub_x2p20"), Seq("host"), "left")
+        .join(auth.withColumnRenamed("dst", "host")
+          .withColumnRenamed("s", "auth_x2p20"), Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("hub_x2p20"), lit(0L)).as("hub_x2p20"),
+          coalesce(col("auth_x2p20"), lit(0L)).as("auth_x2p20"))
+        .localCheckpoint(true)
+      nodes.unpersist()
+      out
+    } finally edges.unpersist()
+  }
+
+  /** DuckDB mirror of [[hostGraphEdges]] + [[hits]] over a (source, text)
+    * table — one a/h CTE pair per round, scalar-subquery maxima, same
+    * two-floor-division normalizer.
+    */
+  def hitsSql(table: String, iterations: Int = 3): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst, sum(h.s) AS raw FROM ex e
+         |  JOIN h${i - 1} h ON e.src = h.host GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT dst, raw // greatest((SELECT max(raw) FROM ar$i)
+         |    // $hitsScale, 1) AS s FROM ar$i),
+         |hr$i AS (
+         |  SELECT e.src, sum(a.s) AS raw FROM ex e
+         |  JOIN a$i a ON e.dst = a.dst GROUP BY e.src),
+         |h$i AS (
+         |  SELECT src AS host, raw // greatest((SELECT max(raw) FROM hr$i)
+         |    // $hitsScale, 1) AS s FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(table)},
+       |h0 AS (SELECT host, CAST($hitsScale AS BIGINT) AS s FROM nodes),
+       |$iters
+       |SELECT n.host,
+       |  CAST(coalesce(h.s, 0) AS BIGINT) AS hub_x2p20,
+       |  CAST(coalesce(a.s, 0) AS BIGINT) AS auth_x2p20
+       |FROM nodes n
+       |LEFT JOIN h$iterations h ON n.host = h.host
+       |LEFT JOIN a$iterations a ON n.host = a.dst""".stripMargin
   }
 }

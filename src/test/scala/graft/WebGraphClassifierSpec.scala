@@ -46,6 +46,24 @@ class WebGraphClassifierSpec extends AnyFunSuite {
       ("srca", "x.example.com"), ("srca", "x.example.com")))
   }
 
+  test("hits: hand-computed 3-round hub/authority fixed points") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c; S = 2^20. Hand-run of the two-floor-division
+    // normalizer (see scaladoc):
+    //   iter1: a(b)=524288  a(c)=1048576  h(a)=1572864 h(b)=1048576
+    //   iter2: a(b)=786432  a(c)=1310720  h(a)=1048576 h(b)=655360
+    //   iter3: a(b)=1048576 a(c)=1703936  h(a)=1376256 h(b)=851968
+    // c has no out-links -> hub 0; a no in-links -> auth 0.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = WebGraph.hits(edges, 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((1376256L, 0L)),
+      "b" -> ((851968L, 1048576L)),
+      "c" -> ((0L, 1703936L))))
+  }
+
   test("classifier: rate-difference weights and verdicts, hand-computed") {
     import spark.implicits._
     // tpos = 2 ("good" x2), tneg = 3 ("bad" x3):
