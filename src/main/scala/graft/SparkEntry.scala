@@ -752,6 +752,14 @@ object SparkEntry {
         labeled, "text", "y", 3L)
       graft.textops.Classifier.classifierScore(docs, "doc_id", "text", w)
     }),
+    // ---- BPE tokenizer training (merge table learned distributively on
+    // the fixture corpus; oracle = generated VALUES from the sequential
+    // in-repo reference — distributed == sequential, checked as data) ----
+    "tok_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.textops.Tokenizer.bpeTrain(
+        graft.textops.Tokenizer.fixtureCorpus.toDF("text"), "text", 12)
+    }),
     // ---- dataset-card corpus statistics (per-lang × quality-bucket
     // doc/char/word mass; fixed buckets, not quantiles — one partial agg) --
     "tq_corpus_stats" -> ((s, dir) => {
@@ -1465,6 +1473,8 @@ object SparkEntry {
         "documents", "doc_id", "lang = 'en'", 3L),
     "tq_corpus_stats" ->
       graft.textops.TextOps.corpusStatsSql("documents"),
+    "tok_bpe_merges" ->
+      graft.textops.Tokenizer.bpeMergesSql(12),
     // mirrors GENERATED from the same TextOps builders (single source of
     // truth for the window frame / integer div / sqrt-rate arithmetic)
     "tq_pack_sequences" ->

@@ -1,0 +1,247 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as a corpus job (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units" —
+  * the algorithm behind GPT-2/LLaMA-style vocabularies), plus the matching
+  * apply step.
+  *
+  * The scale story is the classic BPE trick done distributively: merges are
+  * learned over the DISTINCT-WORD FREQUENCY TABLE, not the corpus — the
+  * only corpus-sized pass is the initial `groupBy(word).count()`
+  * (partial-aggregated, Zipfian keys combine map-side); every merge round
+  * then runs on the vocabulary table (10^8-10^9 rows at 100 TB, distributed
+  * but corpus-independent). Each round is: weighted adjacent-pair count
+  * (one partial-aggregated groupBy), a SINGLE-ROW argmax collect (count
+  * DESC, then lexicographic — deterministic tie-break), and a row-local
+  * greedy leftmost merge rewrite via the `aggregate` higher-order function.
+  * The vocab table is eagerly checkpointed per round — the same
+  * iterative-plan lesson as [[WebGraph.hostRank]] (a lazy loop re-codegens
+  * the accumulated tree each round).
+  *
+  * Production vocabularies run 30k-50k merges; at that count real trainers
+  * batch provably-disjoint merges per round or sample the vocabulary tail.
+  * This operator implements the exact one-merge-per-round algorithm (the
+  * form the sequential reference defines) with an early stop when the best
+  * pair drops below `minCount`.
+  *
+  * Symbols are UTF-16 code-unit strings (`split(word, "")` on both the
+  * distributed and local paths — identical by construction); tokenization
+  * is the shared lowercase-whitespace split of [[TextOps.keywords]].
+  * Correctness contract: [[bpeTrain]] over a DataFrame equals
+  * [[bpeTrainLocal]] over the same texts EXACTLY (merge-for-merge,
+  * count-for-count) — the spec pins it and the generated-VALUES oracle
+  * re-checks it against DuckDB's hash of the local run.
+  */
+object Tokenizer {
+
+  /** Learned merge: `ix`-th rule rewrites adjacent (left, right) →
+    * left+right; `pairCount` is the weighted corpus pair count that won
+    * the round.
+    */
+  final case class Merge(ix: Int, left: String, right: String,
+      pairCount: Long)
+
+  /** Lowercased, whitespace-split, non-empty words of one text — the
+    * shared word contract of both paths.
+    */
+  def wordsOf(text: String): Seq[String] =
+    Option(text).getOrElse("").toLowerCase.split(" +").toSeq
+      .filter(_.nonEmpty)
+
+  /** Greedy leftmost non-overlapping application of ONE merge to a symbol
+    * sequence ("a a a" + (a,a) → ["aa", "a"]) — the sequential reference
+    * the distributed rewrite must match.
+    */
+  def applyMerge(
+      syms: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tail if a == l && b == r =>
+        out += (l + r); rest = tail
+      case a :: tail => out += a; rest = tail
+      case Nil => ()
+    }
+    out.result()
+  }
+
+  /** Sequential reference trainer (plain Scala, no Spark): the single
+    * source of truth the distributed trainer is checked against and the
+    * generated-VALUES oracle is built from.
+    */
+  def bpeTrainLocal(
+      texts: Seq[String], numMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    var vocab: Map[List[String], Long] = texts.flatMap(wordsOf)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toList -> ws.size.toLong
+      }
+    val merges = Seq.newBuilder[Merge]
+    var ix = 0
+    var done = false
+    while (ix < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; p <- syms.zip(syms.drop(1)))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minCount =>
+          merges += Merge(ix, l, r, c)
+          vocab = vocab.groupMapReduce(kv => applyMerge(kv._1, l, r))(_._2)(_ + _)
+          ix += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed BPE training over a corpus DataFrame: returns the merge
+    * table (merge_ix, left, right, pair_count), learned exactly as
+    * [[bpeTrainLocal]] does. See the object scaladoc for the scale shape;
+    * the per-round argmax is a bounded SINGLE-ROW collect (the IVF
+    * quantizer-sample stance on driver-side data).
+    */
+  def bpeTrain(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONE corpus-sized pass: distinct-word frequencies
+    var vocab = docs
+      .select(explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
+        .as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var ix = 0
+    var done = false
+    while (ix < numMerges && !done) {
+      val best = vocab
+        // single-symbol words carry no pairs (and sequence(1, 0) would
+        // flip DESCENDING — the domainEpochSample guard, applied as a
+        // filter since these rows can never match a merge either)
+        .filter(size(col("syms")) > 1)
+        .select(explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        merges += Merge(ix, l, r, c)
+        // row-local greedy leftmost rewrite: fold the symbol array through
+        // a (emitted, pending) accumulator — exactly applyMerge's loop
+        val rewritten = aggregate(
+          col("syms"),
+          struct(array().cast("array<string>").as("out"),
+            lit(null).cast("string").as("pend")),
+          (acc, x) => {
+            val out = acc.getField("out")
+            val pend = acc.getField("pend")
+            when(pend.isNull, struct(out.as("out"), x.as("pend")))
+              .when(pend === lit(l) && x === lit(r),
+                struct(array_append(out, lit(l + r)).as("out"),
+                  lit(null).cast("string").as("pend")))
+              .otherwise(struct(array_append(out, pend).as("out"),
+                x.as("pend")))
+          },
+          acc => when(acc.getField("pend").isNull, acc.getField("out"))
+            .otherwise(array_append(acc.getField("out"),
+              acc.getField("pend"))))
+        // no re-group after the rewrite: two vocab rows CAN converge to
+        // the same symbol sequence (e.g. an earlier (a,bc) merge and this
+        // round's (ab,c) both forming "abc"), but duplicate keys are
+        // harmless — pair counts are ADDITIVE over rows and the rewrite is
+        // per-row, so every subsequent round computes identical counts to
+        // the grouped local reference; checkpoint resets the round's
+        // lineage
+        vocab = vocab.select(rewritten.as("syms"), col("n"))
+          .localCheckpoint(true)
+        ix += 1
+      }
+    }
+    merges.result()
+      .map(m => (m.ix, m.left, m.right, m.pairCount))
+      .toDF("merge_ix", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned merge table to a corpus: (doc_id, n_words, n_tokens,
+    * tokens_fp) per document — token count plus an md5 fingerprint of the
+    * token stream (the compression-ratio / drift signal a tokenizer change
+    * is judged by). Merges apply in learned order per word, exactly
+    * [[applyMerge]]; the merge list ships as a broadcast local value and
+    * the whole step is one narrow typed map (a 30k-deep chain of
+    * `aggregate` expressions would defeat codegen, so this is the
+    * documented Dataset-API exception).
+    */
+  def bpeApply(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("txt"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        val ws = wordsOf(txt)
+        val toks = ws.flatMap { w =>
+          bc.value.foldLeft(w.split("").toList) { case (s, (l, r)) =>
+            applyMerge(s, l, r)
+          }
+        }
+        (id, ws.size.toLong, toks.size.toLong,
+          graft.util.Hashing.md5Hex(toks.mkString(" ")))
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "tokens_fp")
+  }
+
+  /** Deterministic fixture corpus for the oracle query: repeated subword
+    * structure ("ing", "th", "er" families) so the first dozen merges are
+    * meaningful and stable. In-repo constant — the generated-VALUES oracle
+    * runs [[bpeTrainLocal]] on exactly this value at SQL-build time.
+    */
+  val fixtureCorpus: Seq[String] = {
+    val sents = Seq(
+      "the thing sing ring bring going doing nothing",
+      "there their then these those brother mother other",
+      "running jumping walking talking reading leading",
+      "the mother and the brother were going there",
+      "better letter setter matter latter butter",
+      "sing the song bring the ring do the thing",
+      "reading leads to knowing and knowing to doing",
+      "walk and talk then run and jump all morning")
+    // cycle the base sentences with varying repetition so pair counts are
+    // non-trivially weighted
+    (0 until 5).flatMap(k => sents.drop(k % 3)) :+
+      "zz zz zz qq qq xx"
+  }
+
+  /** The oracle SQL for [[bpeTrain]] over [[fixtureCorpus]]: VALUES
+    * generated by running the sequential reference at SQL-build time —
+    * the distributed-equals-sequential contract, checked as data.
+    */
+  def bpeMergesSql(numMerges: Int, minCount: Long = 2L): String = {
+    val rows = bpeTrainLocal(fixtureCorpus, numMerges, minCount)
+      .map(m => s"(${m.ix}, ${TextOps.sqlLit(m.left)}, " +
+        s"${TextOps.sqlLit(m.right)}, ${m.pairCount})")
+      .mkString(",\n  ")
+    s"""SELECT CAST(merge_ix AS INT) AS merge_ix, "left", "right",
+       |  CAST(pair_count AS BIGINT) AS pair_count
+       |FROM (VALUES
+       |  $rows) AS t(merge_ix, "left", "right", pair_count)""".stripMargin
+  }
+}

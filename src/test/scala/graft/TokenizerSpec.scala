@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.textops.Tokenizer
+
+/** Pins BPE training: hand-computed merges, distributed == sequential
+  * reference (the oracle contract), greedy-leftmost rewrite semantics,
+  * and the apply round-trip.
+  */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("applyMerge: greedy leftmost, non-overlapping") {
+    assert(Tokenizer.applyMerge(List("a", "a", "a"), "a", "a") ==
+      List("aa", "a"))
+    assert(Tokenizer.applyMerge(List("a", "b", "a", "b"), "a", "b") ==
+      List("ab", "ab"))
+    assert(Tokenizer.applyMerge(List("x"), "a", "b") == List("x"))
+    assert(Tokenizer.applyMerge(Nil, "a", "b") == Nil)
+  }
+
+  test("bpeTrainLocal: hand-computed merge sequence") {
+    // corpus: "abab" x3, "ab" x2  ->  pairs: (a,b)=8, (b,a)=3
+    // merge0 = (a,b,8); then "abab"->[ab,ab] x3, "ab"->[ab] x2
+    //   pairs: (ab,ab)=3 -> merge1 = (ab,ab,3); then no pair >= 2
+    val m = Tokenizer.bpeTrainLocal(
+      Seq("abab abab abab ab ab"), 10)
+    assert(m.map(x => (x.ix, x.left, x.right, x.pairCount)) ==
+      Seq((0, "a", "b", 8L), (1, "ab", "ab", 3L)))
+  }
+
+  test("bpeTrainLocal: deterministic lexicographic tie-break") {
+    // "ba" and "cd": (b,a)=1+... construct counts equal: "xy xy" vs
+    // "uv uv": (x,y)=2 and (u,v)=2 -> tie broken by left asc: (u,v) first
+    val m = Tokenizer.bpeTrainLocal(Seq("xy xy uv uv"), 1)
+    assert(m.head.left == "u" && m.head.right == "v" &&
+      m.head.pairCount == 2L)
+  }
+
+  test("bpeTrain == bpeTrainLocal on the fixture corpus (oracle contract)") {
+    import spark.implicits._
+    val dist = Tokenizer.bpeTrain(
+      Tokenizer.fixtureCorpus.toDF("text"), "text", 12)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val local = Tokenizer.bpeTrainLocal(Tokenizer.fixtureCorpus, 12)
+      .map(m => (m.ix, m.left, m.right, m.pairCount))
+    assert(dist.toSeq == local)
+    assert(local.size == 12) // the fixture sustains all 12 merges
+  }
+
+  test("bpeTrain: early stop below minCount; single-char words are inert") {
+    import spark.implicits._
+    // only (z,z) reaches count 2; "q" alone contributes no pairs
+    val m = Tokenizer.bpeTrain(
+      Seq("zz zz q", "q q").toDF("text"), "text", 5)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(("z", "z", 2L)))
+  }
+
+  test("bpeApply: token counts shrink under merges, fingerprint stable") {
+    import spark.implicits._
+    val merges = Tokenizer.bpeTrainLocal(Tokenizer.fixtureCorpus, 12)
+      .map(m => (m.left, m.right))
+    val docs = Seq((1L, "the thing sing"), (2L, ""), (3L, "zz zz"))
+      .toDF("doc_id", "text")
+    val out = Tokenizer.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "the" is a learned token family: tokens < raw chars
+    val (w1, t1, fp1) = out(1L)
+    assert(w1 == 3L && t1 < "thethingsing".length && t1 >= 3L)
+    assert(out(2L) == ((0L, 0L, graft.util.Hashing.md5Hex(""))))
+    // applying NO merges = per-char tokens
+    val raw = Tokenizer.bpeApply(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == "thethingsing".length.toLong)
+    // determinism: same input, same fingerprint
+    val fp2 = Tokenizer.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fp2(1L) == fp1)
+  }
+}
