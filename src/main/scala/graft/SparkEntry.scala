@@ -752,6 +752,12 @@ object SparkEntry {
         labeled, "text", "y", 3L)
       graft.textops.Classifier.classifierScore(docs, "doc_id", "text", w)
     }),
+    // ---- deterministic training-order shuffle (bucketed permutation,
+    // no global sort; pos is a pure function of the ids) ----
+    "tq_corpus_shuffle" -> ((s, dir) => {
+      graft.textops.TextOps.corpusShuffle(
+        t(s, dir, "documents"), "doc_id", 8)
+    }),
     // ---- BPE tokenizer training (merge table learned distributively on
     // the fixture corpus; oracle = generated VALUES from the sequential
     // in-repo reference — distributed == sequential, checked as data) ----
@@ -1475,6 +1481,8 @@ object SparkEntry {
       graft.textops.TextOps.corpusStatsSql("documents"),
     "tok_bpe_merges" ->
       graft.textops.Tokenizer.bpeMergesSql(12),
+    "tq_corpus_shuffle" ->
+      graft.textops.TextOps.corpusShuffleSql("documents", 8),
     // mirrors GENERATED from the same TextOps builders (single source of
     // truth for the window frame / integer div / sqrt-rate arithmetic)
     "tq_pack_sequences" ->

@@ -1261,6 +1261,68 @@ object TextOps {
        |SELECT doc_id, $domainCol, CAST(k AS BIGINT) AS epoch
        |FROM d, LATERAL unnest(generate_series(1, n)) u(k)""".stripMargin
 
+  /** Deterministic training-order shuffle: a reproducible pseudo-random
+    * global permutation of the corpus (the "shuffle once, read in order"
+    * step before sequence packing / epoch serving) WITHOUT a global total
+    * sort. Docs hash into `buckets` md5 buckets; each bucket is sorted
+    * independently by (full md5, id) and positions are made global by
+    * adding per-bucket offsets from a prefix sum over the tiny bucket
+    * histogram. Readers consume buckets in order — the permutation is a
+    * pure function of the ids, identical across engines, runs and cluster
+    * sizes.
+    *
+    * Scale shape: this is hash-range terasort made explicit — B
+    * independent O(N/B log N/B) sorts instead of one global
+    * range-partitioned sort; size `buckets` so N/B rows fit a task
+    * (B ≈ N / 10^6 at 100 TB). The per-bucket rank is a window whose
+    * partition IS the bucket — each task buffers exactly one bucket,
+    * which is what B controls. The offset prefix sum runs on B rows
+    * (single-partition window on the histogram — B is cluster-scale
+    * metadata, not data).
+    */
+  def corpusShuffle(
+      docs: DataFrame, idCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = docs.select(col(idCol).as("doc_id"))
+      .withColumn("bucket", md5Bucket(col(idCol), buckets.toLong))
+      .withColumn("h", md5(col(idCol).cast("string")))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h").asc, col("doc_id").asc)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
+    base
+      .withColumn("pib", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        (col("off") + col("pib")).as("pos"))
+  }
+
+  /** DuckDB mirror of [[corpusShuffle]] over a (doc_id) table. */
+  def corpusShuffleSql(table: String, buckets: Int = 64): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $buckets AS bucket,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM $table),
+       |p AS (
+       |  SELECT doc_id, bucket,
+       |    CAST(row_number() OVER (PARTITION BY bucket
+       |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pib
+       |  FROM b),
+       |c AS (SELECT bucket, count(*) AS bn FROM b GROUP BY bucket),
+       |o AS (
+       |  SELECT bucket,
+       |    coalesce(sum(bn) OVER (ORDER BY bucket ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM c)
+       |SELECT p.doc_id, p.bucket, CAST(o.off + p.pib AS BIGINT) AS pos
+       |FROM p JOIN o ON p.bucket = o.bucket""".stripMargin
+
   // ---- keyword extraction (integer-exact tf/df ranking) -------------------
 
   /** Top-k characteristic terms per document, ranked by (tf DESC, df ASC,

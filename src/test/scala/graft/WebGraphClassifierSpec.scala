@@ -134,6 +134,31 @@ class WebGraphClassifierSpec extends AnyFunSuite {
     assert(fr.toSeq == Seq(1L) || fr.toSeq == Seq(1L, 2L))
   }
 
+  test("corpusShuffle: exact permutation, cluster-size invariant") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = TextOps.corpusShuffle(docs, "doc_id", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pos is an exact permutation of 1..N
+    assert(out.map(_._3).sorted.toSeq == (1L to 100L).toSeq)
+    // within a bucket, pos ranges are contiguous and bucket-ordered:
+    // every pos in bucket b is < every pos in bucket b+1
+    val byB = out.groupBy(_._2).toSeq.sortBy(_._1)
+    val ranges = byB.map { case (b, rs) =>
+      (b, rs.map(_._3).min, rs.map(_._3).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+    // the permutation is a pure function of the ids: identical under a
+    // different partitioning of the input
+    val out2 = TextOps.corpusShuffle(docs.repartition(13), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // and it is not the identity order (it actually shuffles)
+    assert(out.sortBy(_._3).map(_._1).toSeq != (1L to 100L).toSeq)
+  }
+
   test("corpusStats: masses add up; empty text lands in bucket 0") {
     import spark.implicits._
     val docs = Seq(
