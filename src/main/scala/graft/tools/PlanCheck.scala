@@ -44,7 +44,13 @@ object PlanCheck {
       // (definite-new rows bypass the anti-join shuffle entirely)
       "tq_cdc_chunks", "tq_normalize_text", "dedup_bloom_membership",
       // rank-filters must rewrite to WindowGroupLimitExec
-      "tq_domain_cap", "tq_keywords")
+      "tq_domain_cap", "tq_keywords",
+      // late round-5: classifier scoring (broadcast term join, narrow
+      // corpus side), corpus stats + epoch sampler (tiny histogram
+      // broadcast, narrow fan-out), bucketed shuffle (window partitioned
+      // BY the bucket, broadcast offsets)
+      "tq_classifier_score", "tq_corpus_stats", "tq_domain_epochs",
+      "tq_corpus_shuffle")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan
