@@ -56,6 +56,63 @@ object SparkEntry {
       |FROM documents""".stripMargin
   private val plantedDupCount = 6
 
+  /** Planted multi-component host graph for web_host_components (single
+    * source of truth for the Spark query and the generated oracle): hosts
+    * h0..h39 with one edge h{i} → h{(i+5)%40} — the step-5 ring splits
+    * mod-40 space into FIVE disjoint 8-host cycles (residue classes
+    * mod 5) — plus leaf hosts keyed by the same residue so each component
+    * also has degree-1 members. Five components by construction, so the
+    * CC cross-check is non-trivial (the rank/hits planted graph is one
+    * giant weak component).
+    */
+  private def plantedComponentAug(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("h"), (col("doc_id") % 40).cast("string"),
+        lit(".example.org")).as("host"),
+      concat(
+        lit(" https://h"), ((col("doc_id") + 5) % 40).cast("string"),
+        lit(".example.org/p https://leaf"),
+        (col("doc_id") % 5).cast("string"), lit("-"),
+        (col("doc_id") % 2).cast("string"),
+        lit(".example.net/x")).as("text"))
+
+  private val plantedComponentAugSql: String =
+    """SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example.org' AS host,
+      |  ' https://h' || CAST((doc_id + 5) % 40 AS VARCHAR)
+      |  || '.example.org/p https://leaf' || CAST(doc_id % 5 AS VARCHAR)
+      |  || '-' || CAST(doc_id % 2 AS VARCHAR) || '.example.net/x' AS text
+      |FROM documents""".stripMargin
+
+  /** Shared recursive-CTE prefix of the cluster-dedup oracles: the
+    * rare-shingle edge derivation (the Dedup.sharedRareShingleEdges
+    * semantics: 3-shingles over ' +'-split words, df=2 inverted index,
+    * ≥2 shared shingles) + transitive-closure components, ending at
+    * comp(v, cluster) with cluster = min member id. dedup_cluster_pick and
+    * dedup_cluster_best compose their keep policies on top.
+    */
+  private val clusterCompCtes: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+      |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      |      ELSE list_transform(generate_series(1, len(words)-2),
+      |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
+      |        FROM documents)),
+      |expl AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |rare AS (SELECT g, min(doc_id) AS a, max(doc_id) AS b
+      |         FROM expl GROUP BY g HAVING count(*) = 2 AND min(doc_id) != max(doc_id)),
+      |edges AS (SELECT a AS src, b AS dst FROM rare GROUP BY a, b HAVING count(*) >= 2),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |vertices AS (SELECT DISTINCT doc_id AS v FROM documents),
+      |reach(v, u) AS (
+      |  SELECT v, v FROM vertices
+      |  UNION
+      |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
+      |),
+      |comp AS (SELECT v, min(u) AS cluster FROM reach GROUP BY v)""".stripMargin
+
   /** Planted messy-URL variants for tq_url_canon (single source of truth
     * for the Spark query and the generated oracle): A and D canonicalize
     * to the same url (case/www/tracking/fragment/slash), as do B and C
@@ -740,6 +797,39 @@ object SparkEntry {
       graft.textops.WebGraph.hits(
         graft.textops.WebGraph.hostGraphEdges(aug, "source", "text"), 3)
     }),
+    // ---- weakly-connected components over a planted FIVE-component host
+    // graph (site-family analysis; exercises the string-graph → md5-id →
+    // CC-engine path against a recursive-CTE oracle) ----
+    "web_host_components" -> ((s, dir) => {
+      val aug = plantedComponentAug(
+        t(s, dir, "documents").select(col("doc_id")))
+      graft.textops.WebGraph.hostComponents(
+        graft.textops.WebGraph.hostGraphEdges(aug, "host", "text"))
+    }),
+    // ---- per-host triangle counts over the planted link graph (degree-
+    // ordered compact-forward; the oracle enumerates canonically ordered
+    // triples — different strategy, same counts) ----
+    "web_host_triangles" -> ((s, dir) => {
+      val aug = plantedLinkAug(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+      graft.textops.WebGraph.triangleCounts(
+        graft.textops.WebGraph.hostGraphEdges(aug, "source", "text"))
+    }),
+    // ---- word-trigram LM count table with min-count pruning (the KenLM
+    // count-collection pass; one partial-aggregated shuffle) ----
+    "tok_ngram_counts" -> ((s, dir) =>
+      graft.textops.Tokenizer.ngramCounts(
+        t(s, dir, "documents"), "text", 3, 2L)),
+    // ---- cluster dedup, keep-BEST-quality variant (same rare-shingle
+    // edges + CC engine as dedup_cluster_pick; representative = quality
+    // argmax instead of keep-first) ----
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        graft.textops.TextOps.qualityScoreX1e6(col("text")).as("score"))
+      graft.textops.Dedup.clusterCanonicalBest(scored,
+        graft.textops.Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2))
+    }),
     // ---- model-based quality filter: count-trained linear classifier
     // (fastText/DCLM shape) — train on the hash-assigned 'train' split
     // with lang='en' as the demo label, score the whole corpus ----
@@ -1353,28 +1443,24 @@ object SparkEntry {
     // shared shingle-set CTE text (string shingles over ' +'-split words,
     // the Dedup.shingleStrings tiling) reused by several oracles below
     "dedup_cluster_pick" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
-        |      WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-        |      ELSE list_transform(generate_series(1, len(words)-2),
-        |             i -> array_to_string(words[i:i+2], ' ')) END) AS s
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(text, ' +'), w -> len(w) > 0) AS words
-        |        FROM documents)),
-        |expl AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |rare AS (SELECT g, min(doc_id) AS a, max(doc_id) AS b
-        |         FROM expl GROUP BY g HAVING count(*) = 2 AND min(doc_id) != max(doc_id)),
-        |edges AS (SELECT a AS src, b AS dst FROM rare GROUP BY a, b HAVING count(*) >= 2),
-        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-        |vertices AS (SELECT DISTINCT doc_id AS v FROM documents),
-        |reach(v, u) AS (
-        |  SELECT v, v FROM vertices
-        |  UNION
-        |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src
-        |)
-        |SELECT v AS doc_id, cluster, (v = cluster) AS keep FROM (
-        |  SELECT v, min(u) AS cluster FROM reach GROUP BY v)""".stripMargin,
+      s"""$clusterCompCtes
+        |SELECT v AS doc_id, cluster, (v = cluster) AS keep FROM comp""".stripMargin,
+    // same components, quality-argmax representative (score mirror is the
+    // generated qualityScoreX1e6Sql; ties → min doc_id via the window order)
+    "dedup_cluster_best" ->
+      s"""$clusterCompCtes,
+        |q AS (SELECT doc_id,
+        |        ${graft.textops.TextOps.qualityScoreX1e6Sql("text")} AS score
+        |      FROM documents),
+        |lab AS (SELECT q.doc_id, c.cluster, q.score
+        |        FROM q JOIN comp c ON c.v = q.doc_id),
+        |best AS (SELECT cluster, doc_id AS best_doc,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM lab)
+        |SELECT l.doc_id, l.cluster, (l.doc_id = b.best_doc) AS keep
+        |FROM lab l JOIN (SELECT cluster, best_doc FROM best WHERE rn = 1) b
+        |  ON l.cluster = b.cluster""".stripMargin,
     "tq_redact_pii" -> {
       val redSql = graft.textops.TextOps.redactPiiSql("text")
       s"""WITH aug AS (
@@ -1474,6 +1560,16 @@ object SparkEntry {
     "web_host_hits" ->
       (s"WITH aug AS ($plantedLinkAugSql),\n" +
         graft.textops.WebGraph.hitsSql("aug", 3).stripPrefix("WITH ")),
+    "web_host_components" ->
+      (s"WITH RECURSIVE aug AS ($plantedComponentAugSql),\n" +
+        graft.textops.WebGraph.hostComponentsSql("aug", "host")
+          .stripPrefix("WITH RECURSIVE ")),
+    "web_host_triangles" ->
+      (s"WITH aug AS ($plantedLinkAugSql),\n" +
+        graft.textops.WebGraph.triangleCountsSql("aug")
+          .stripPrefix("WITH ")),
+    "tok_ngram_counts" ->
+      graft.textops.Tokenizer.ngramCountsSql("documents", "text", 3, 2L),
     "tq_classifier_score" ->
       graft.textops.Classifier.classifierSql(
         "documents", "doc_id", "lang = 'en'", 3L),

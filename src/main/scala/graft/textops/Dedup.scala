@@ -653,6 +653,44 @@ object Dedup {
       .withColumn("keep", $"doc_id" === $"cluster")
   }
 
+  /** Quality-argmax canonical selection: like [[clusterCanonical]], but the
+    * cluster representative is the member with the HIGHEST `score` (ties →
+    * min doc id) instead of keep-first — the production dedup policy when a
+    * quality signal exists (keep the best-written duplicate, not the first-
+    * crawled one; Penedo et al. 2023 RefinedWeb §3.4 keep decisions).
+    *
+    * The argmax is a partial-aggregatable struct-max (`max(struct(score,
+    * -doc_id))` — fields compare in order, so the negated id breaks ties
+    * toward the SMALLEST id), NOT a per-cluster window: a window would
+    * buffer whole clusters per task, and boilerplate clusters at corpus
+    * scale are exactly the unbounded-group case [[graft.functions.BoundedEnds]]
+    * exists for. Cluster label stays min-id (the CC invariant); only the
+    * keep choice changes. Output: (doc_id, cluster, keep) covering every
+    * input doc; singleton docs keep themselves.
+    */
+  def clusterCanonicalBest(
+      scoredDocs: DataFrame, // (doc_id, score: Long)
+      edges: DataFrame // (src, dst)
+  ): DataFrame = {
+    val spark = scoredDocs.sparkSession
+    import spark.implicits._
+    val cc = graft.canon.Canon.connectedComponents(edges)
+    val labeled = scoredDocs
+      .join(cc, scoredDocs("doc_id") === cc("v"), "left")
+      .select(scoredDocs("doc_id"),
+        coalesce($"component", scoredDocs("doc_id")).as("cluster"),
+        scoredDocs("score"))
+    val best = labeled
+      .groupBy($"cluster")
+      .agg(max(struct($"score", (-$"doc_id").as("negId"))).as("b"))
+      .select($"cluster".as("bc"), (-$"b.negId").as("best_doc"))
+    // the best table is |clusters| rows — corpus-sized when singleton-heavy,
+    // tiny when duplication is heavy — so no broadcast hint: AQE decides
+    // from the measured size at runtime
+    labeled.join(best, $"cluster" === $"bc")
+      .select($"doc_id", $"cluster", ($"doc_id" === $"best_doc").as("keep"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (tf-weighted). */
   def simhash(text: String): Long = {
     if (text == null) return 0L

@@ -230,6 +230,65 @@ object Tokenizer {
       "zz zz zz qq qq xx"
   }
 
+  /** Word n-gram frequency table with a minimum-count cutoff — the
+    * count-collection pass of KenLM-style language-model training (Heafield
+    * 2011, "KenLM: Faster and Smaller Language Model Queries") and the
+    * n-gram inventory decontamination / memorization scans run against.
+    *
+    * Scale shape: the explode is row-local (runs inside the scan stage, no
+    * shuffle, ×~|words| row blowup bounded by the chunked inputs every
+    * production corpus already has); the ONE shuffle is the
+    * `groupBy(gram)` — partial-aggregated, so Zipfian head grams combine
+    * map-side and a hot gram reaches the reducer as one merged row per
+    * partition, not a fan-in. The `minCount` HAVING-cut bounds the output
+    * table (the Katz/KenLM pruning step) but deliberately runs AFTER the
+    * aggregation — a pre-cut is impossible (counts aren't known until
+    * aggregated) and the cut itself is a narrow post-agg filter.
+    *
+    * Words are the [[wordsOf]] contract (lowercase whitespace split);
+    * grams join with single spaces. Documents with fewer than `n` words
+    * contribute nothing (the `size >= n` filter also keeps
+    * `sequence(1, len-n+1)` from flipping DESCENDING on short docs — the
+    * [[bpeTrain]] guard). Counts are occurrence counts, NOT the distinct
+    * per-doc counts of [[Dedup]] shingling — an LM needs multiplicity.
+    */
+  def ngramCounts(
+      docs: DataFrame, textCol: String, n: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val words = filter(
+      split(lower(coalesce(col(textCol), lit(""))), " +"),
+      w => length(w) > 0)
+    docs
+      .select(words.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+  }
+
+  /** DuckDB mirror of [[ngramCounts]] — same split, same slice bounds,
+    * same cutoff, generated from the same constants.
+    */
+  def ngramCountsSql(
+      table: String, textExpr: String, n: Int,
+      minCount: Long = 2L): String =
+    s"""WITH w AS (
+       |  SELECT list_filter(
+       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
+       |    x -> len(x) > 0) AS ws
+       |  FROM $table),
+       |g AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len(ws) - ${n - 1}),
+       |    i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
+       |  FROM w WHERE len(ws) >= $n)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+       |FROM g GROUP BY gram HAVING count(*) >= $minCount""".stripMargin
+
   /** The oracle SQL for [[bpeTrain]] over [[fixtureCorpus]]: VALUES
     * generated by running the sequential reference at SQL-build time —
     * the distributed-equals-sequential contract, checked as data.

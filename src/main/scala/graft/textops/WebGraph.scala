@@ -115,10 +115,10 @@ object WebGraph {
   /** The shared edge-extraction + node CTE prefix of the SQL mirrors
     * (exr/ex/nodes — the [[hostGraphEdges]] semantics in DuckDB).
     */
-  private def edgeCtes(table: String): String = {
+  private def edgeCtes(table: String, srcCol: String = "source"): String = {
     val pat = TextOps.urlHostPattern.replace("'", "''")
     s"""exr AS (
-       |  SELECT lower(source) AS src,
+       |  SELECT lower($srcCol) AS src,
        |    unnest(regexp_extract_all(coalesce(text, ''), '$pat', 1)) AS dst0
        |  FROM $table),
        |ex AS (
@@ -151,6 +151,154 @@ object WebGraph {
        |$iters
        |SELECT host, rank_x1e6 FROM r$iterations""".stripMargin
   }
+
+  /** Deterministic 60-bit host id: the leading 15 hex digits of md5(host),
+    * the [[TextOps.md5Bucket]] bridge widened to an id space. Both engines
+    * render it identically (`conv(substr(md5(h),1,15),16,10)` vs
+    * `CAST('0x' || substr(md5(h),1,15) AS BIGINT)`), 15 hex digits = 60
+    * bits so the BIGINT is always positive and never overflows. Collisions
+    * need ~2^30 distinct hosts for even odds (birthday bound) — far above
+    * any real host count — and a collision would only merge two components
+    * optimistically, identically in both engines.
+    */
+  def hostId(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(host), 1, 15), 16, 10).cast("long")
+
+  /** SQL rendering of [[hostId]] over a host expression. */
+  def hostIdSql(hostExpr: String): String =
+    s"CAST(('0x' || substr(md5($hostExpr), 1, 15)) AS BIGINT)"
+
+  /** Weakly-connected components of a host graph: the crawl-frontier /
+    * mirror-site-family analysis (a component of hosts that only link each
+    * other is one "site family" — the unit RefinedWeb-style pipelines
+    * apply per-site quality decisions to). Hosts are mapped to [[hostId]]
+    * longs and run through the skew-guarded KG CC engine
+    * ([[graft.canon.Canon.connectedComponents]]: large/small-star pointer
+    * jumping, hot-hub pre-contraction, observed-metric convergence) — the
+    * same engine corpus dedup uses, because a web graph at 10^9 hosts IS
+    * the skewed-graph case it was built for. `component_id` = min
+    * [[hostId]] in the component; a host with no non-self edges is its own
+    * singleton component (the CC engine drops self-loops, so the left join
+    * coalesces those back).
+    *
+    * Output: (host, component_id) covering every host in the edge set.
+    */
+  def hostComponents(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+    val hosts = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host")))
+      .distinct()
+      .withColumn("hid", hostId(col("host")))
+    val cc = graft.canon.Canon.connectedComponents(
+      edges.select(hostId(col("src")).as("src"),
+        hostId(col("dst")).as("dst")))
+    hosts.join(cc, hosts("hid") === cc("v"), "left")
+      .select(col("host"),
+        coalesce(col("component"), col("hid")).as("component_id"))
+  }
+
+  /** DuckDB mirror of [[hostGraphEdges]] + [[hostComponents]] over a
+    * (srcCol, text) table: recursive-CTE transitive closure (the
+    * [[graft.textops.Dedup.clusterCanonical]] oracle pattern) with the
+    * same md5 id space — a full cross-engine check of the string-graph →
+    * CC path.
+    */
+  def hostComponentsSql(table: String, srcCol: String = "source"): String =
+    s"""WITH RECURSIVE ${edgeCtes(table, srcCol)},
+       |sym AS (SELECT src, dst FROM ex WHERE src != dst
+       |        UNION SELECT dst, src FROM ex WHERE src != dst),
+       |reach(v, u) AS (
+       |  SELECT host, host FROM nodes
+       |  UNION
+       |  SELECT r.v, s.dst FROM reach r JOIN sym s ON r.u = s.src)
+       |SELECT v AS host, min(${hostIdSql("u")}) AS component_id
+       |FROM reach GROUP BY v""".stripMargin
+
+  /** Per-host triangle counts over the undirected host graph — the local
+    * clustering signal link-spam detection uses (spam farms are near-
+    * cliques; organic link neighborhoods are sparse). Implements the
+    * degree-ordered "compact-forward" scheme (Chiba & Nishizeki 1985;
+    * Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+    * Last Reducer"): every edge is oriented from its lower-(degree, host)
+    * endpoint to the higher, so wedges are only generated AT the lowest-
+    * ranked vertex of each triangle — total wedge volume is O(E^1.5)
+    * regardless of skew, where the naive join explodes quadratically on
+    * the first hub host.
+    *
+    * Shuffle shape: one distinct (undirected edge set), one degree
+    * groupBy, the wedge self-join keyed on the low vertex, and the closing
+    * -edge join keyed on (v, w) — all partial-aggregatable or co-
+    * partitioned; no all-pairs stage exists. Output (host, n_tri) covers
+    * every host in the edge set, zeros included.
+    */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    val und = edges0
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    try {
+      val deg = und.select(col("a").as("host"))
+        .union(und.select(col("b").as("host")))
+        .groupBy(col("host")).agg(count(lit(1)).as("d"))
+      // orient each undirected edge low→high in (degree, host) order
+      val oriented = und
+        .join(deg.select(col("host").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("host").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v"),
+              col("db").as("dv")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"),
+              col("da").as("dv"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .persist()
+      try {
+        // wedges at the lowest-ranked vertex: (u, v, w) with v before w
+        val wedges = oriented.select(col("u"), col("v"), col("dv"))
+          .join(oriented.select(col("u"), col("v").as("w"),
+            col("dv").as("dw")), Seq("u"))
+          .filter(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
+        // the closing edge (v, w) is oriented v→w by the rank order above
+        val tri = wedges.join(
+          oriented.select(col("u").as("v"), col("v").as("w")),
+          Seq("v", "w"))
+        val counts = tri
+          .select(explode(array(col("u"), col("v"), col("w"))).as("host"))
+          .groupBy(col("host")).agg(count(lit(1)).as("n_tri"))
+        deg.select(col("host"))
+          .join(counts, Seq("host"), "left")
+          .select(col("host"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          // materialize before the persisted inputs are released below
+          .localCheckpoint(true)
+      } finally { oriented.unpersist(); () }
+    } finally { und.unpersist(); () }
+  }
+
+  /** DuckDB mirror of [[hostGraphEdges]] + [[triangleCounts]]: canonical
+    * a<b<c triple-join enumeration (each triangle once) — a deliberately
+    * DIFFERENT enumeration strategy from the degree-ordered Spark plan, so
+    * the oracle checks the count semantics, not the plan.
+    */
+  def triangleCountsSql(table: String, srcCol: String = "source"): String =
+    s"""WITH ${edgeCtes(table, srcCol)},
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM ex WHERE src != dst),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pern AS (SELECT unnest([x, y, z]) AS host FROM tri),
+       |dn AS (SELECT a AS host FROM und UNION SELECT b FROM und)
+       |SELECT dn.host, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri
+       |FROM dn LEFT JOIN (
+       |  SELECT host, count(*) AS n FROM pern GROUP BY host) c
+       |  ON dn.host = c.host""".stripMargin
 
   /** HITS fixed-point scale (score 1.0 == 2^20; power-of-two so the
     * normalizing divisor `max div 2^20` is exact integer arithmetic).

@@ -26,6 +26,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((6L, true)))
   }
 
+  test("clusterCanonicalBest: quality argmax keeps, ties to min id, singletons keep") {
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 5L),
+      (6L, 1L)).toDF("doc_id", "score")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val out = Dedup.clusterCanonicalBest(scored, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cluster {1,2,3}: top score 30 tied between 2 and 3 -> min id 2 keeps;
+    // cluster label stays the CC min-id invariant (1)
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L) == ((1L, false)))
+    // cluster {4,5}: tie -> 4 keeps
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((4L, false)))
+    // singleton keeps itself regardless of score
+    assert(out(6L) == ((6L, true)))
+  }
+
   test("sharedRareShingleEdges: df=2 shingles link, df>2 and single-share don't") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

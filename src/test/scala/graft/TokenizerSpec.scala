@@ -81,4 +81,26 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(fp2(1L) == fp1)
   }
+
+  test("ngramCounts: occurrence counts, lowercase, min-count prune, short docs skipped") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat the cat sat", // "the cat sat" x2 among 4 trigrams
+      "the cat",                 // < 3 words -> contributes nothing
+      "THE CAT SAT on a mat"     // lowercased -> a third "the cat sat"
+    ).toDF("text")
+    val out = Tokenizer.ngramCounts(docs, "text", 3, 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every other trigram occurs once and is pruned by minCount=2
+    assert(out == Map("the cat sat" -> 3L))
+    // minCount=1 keeps the full multiset: doc1 has 4 trigrams (2 distinct
+    // beyond the repeated one), doc3 has 4
+    val all = Tokenizer.ngramCounts(docs, "text", 3, 1L).collect()
+      .map(r => r.getLong(1)).sum
+    assert(all == 8L)
+    // bigrams over a null/empty corpus: no rows, no throw
+    val empty = Tokenizer.ngramCounts(
+      Seq.empty[String].toDF("text"), "text", 2, 1L)
+    assert(empty.count() == 0L)
+  }
 }

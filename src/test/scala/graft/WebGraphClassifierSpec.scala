@@ -64,6 +64,42 @@ class WebGraphClassifierSpec extends AnyFunSuite {
       "c" -> ((0L, 1703936L))))
   }
 
+  test("hostComponents: families split, self-loop host is a singleton, id = min hostId") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"))
+      .toDF("src", "dst")
+    val out = WebGraph.hostComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("a", "b", "c", "x", "y", "z"))
+    assert(out("a") == out("b") && out("b") == out("c"))
+    assert(out("x") == out("y"))
+    // three distinct components; z (self-loop only) is its own
+    assert(Set(out("a"), out("x"), out("z")).size == 3)
+    // component id is the MIN 60-bit md5 host id over the members
+    val hid = Seq("a", "b", "c", "x", "y", "z").toDF("h")
+      .select(col("h"), WebGraph.hostId(col("h")).as("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == Seq("a", "b", "c").map(hid).min)
+    assert(out("x") == Seq("x", "y").map(hid).min)
+    assert(out("z") == hid("z"))
+  }
+
+  test("triangleCounts: K4 = 3 per host, squares close nothing, dups/direction ignored") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} with mixed directions and one duplicate edge,
+    // plus a 4-cycle on {w,x,y,z} (no triangles)
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("d", "b"),
+      ("c", "d"), ("b", "a"), // dup of (a,b), reversed
+      ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w")).toDF("src", "dst")
+    val out = WebGraph.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4 has 4 triangles; each vertex sits in C(3,2) = 3 of them
+    assert(Seq("a", "b", "c", "d").forall(h => out(h) == 3L))
+    assert(Seq("w", "x", "y", "z").forall(h => out(h) == 0L))
+    assert(out.size == 8)
+  }
+
   test("classifier: rate-difference weights and verdicts, hand-computed") {
     import spark.implicits._
     // tpos = 2 ("good" x2), tneg = 3 ("bad" x3):
