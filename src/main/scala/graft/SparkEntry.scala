@@ -256,6 +256,32 @@ object SparkEntry {
         .except(ev.filter(col("event_type") === "purchase" &&
           col("value") > 150).select(col("user_id")).distinct())
     }),
+    // ---- as-of join: each click to the user's latest prior-or-equal
+    // purchase (one key-partitioned carry-forward window — the equi-plan
+    // for a join Spark can only otherwise run as a nested loop) ----
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Temporal.asOf(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts"),
+            col("event_id").as("lid")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"), col("ts"),
+            col("event_id").as("rid"), col("value").as("pay")))
+    }),
+    // ---- bounded range-count: clicks in the day before each purchase
+    // (bucketed bin equi-join, fixed ×2 probe blowup — the interval-join
+    // shape; the oracle is the direct inequality formulation) ----
+    "ev_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Temporal.rangeCount(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("k"), col("ts"),
+            col("event_id").as("lid")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts")),
+        86400000000L)
+    }),
     // ---- J-family: anti-join (parts never ordered) ----
     "j_anti_no_orders" -> ((s, dir) => {
       t(s, dir, "part")
@@ -1570,6 +1596,17 @@ object SparkEntry {
           .stripPrefix("WITH ")),
     "tok_ngram_counts" ->
       graft.textops.Tokenizer.ngramCountsSql("documents", "text", 3, 2L),
+    "ev_asof_join" -> graft.operators.Temporal.asOfSql(
+      """SELECT user_id AS k, ts, event_id AS lid FROM events
+        | WHERE event_type = 'click'""".stripMargin,
+      """SELECT user_id AS k, ts, event_id AS rid, value AS pay FROM events
+        | WHERE event_type = 'purchase'""".stripMargin),
+    "ev_range_join" -> graft.operators.Temporal.rangeCountSql(
+      """SELECT user_id AS k, ts, event_id AS lid FROM events
+        | WHERE event_type = 'purchase'""".stripMargin,
+      """SELECT user_id AS k, ts FROM events
+        | WHERE event_type = 'click'""".stripMargin,
+      86400000000L),
     "tq_classifier_score" ->
       graft.textops.Classifier.classifierSql(
         "documents", "doc_id", "lang = 'en'", 3L),
