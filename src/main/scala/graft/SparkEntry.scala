@@ -846,6 +846,11 @@ object SparkEntry {
     "tok_ngram_counts" -> ((s, dir) =>
       graft.textops.Tokenizer.ngramCounts(
         t(s, dir, "documents"), "text", 3, 2L)),
+    // ---- HyperLogLog distinct-token sketch: the full register STATE is
+    // the oracle row set (every bit pinned, unlike approx_count_distinct's
+    // engine-private HLL++ layout); estimate accuracy is spec-checked ----
+    "tq_hll_registers" -> ((s, dir) =>
+      graft.textops.TextOps.hllRegisters(t(s, dir, "documents"), "text")),
     // ---- cluster dedup, keep-BEST-quality variant (same rare-shingle
     // edges + CC engine as dedup_cluster_pick; representative = quality
     // argmax instead of keep-first) ----
@@ -1596,6 +1601,8 @@ object SparkEntry {
           .stripPrefix("WITH ")),
     "tok_ngram_counts" ->
       graft.textops.Tokenizer.ngramCountsSql("documents", "text", 3, 2L),
+    "tq_hll_registers" ->
+      graft.textops.TextOps.hllRegistersSql("documents", "text"),
     "ev_asof_join" -> graft.operators.Temporal.asOfSql(
       """SELECT user_id AS k, ts, event_id AS lid FROM events
         | WHERE event_type = 'click'""".stripMargin,

@@ -1567,6 +1567,87 @@ object TextOps {
     // the Scala-side regex string embeds verbatim
     s"md5(lower(regexp_replace($textExpr, '$fingerprintWs', ' ', 'g')))"
 
+  // ---- HyperLogLog distinct-token sketch -----------------------------------
+
+  /** Register count for [[hllRegisters]] (m = 2^8; rse ≈ 1.04/√m ≈ 6.5%). */
+  val hllBuckets = 256
+
+  /** Deterministic HyperLogLog register table over the corpus token stream
+    * (Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+    * cardinality estimation algorithm") — the vocabulary-size / distinct-id
+    * data-card stat that CANNOT be computed exactly at 100 TB without a
+    * corpus-wide distinct shuffle. The sketch needs NO distinct: duplicates
+    * cannot move a max, so the whole job is one narrow scan + one
+    * 256-group partial-aggregated max — bytes shuffled are O(m), not O(corpus).
+    *
+    * Unlike `approx_count_distinct` (whose HLL++ register layout is
+    * engine-private and version-dependent), every bit here is pinned:
+    * bucket = the md5 top byte (first 2 hex digits), rho = leading-zero
+    * count of the next 56 bits + 1 (via `length(bin(v))` — both engines render
+    * minimal binary), so the full sketch STATE is oracle-checkable, and
+    * merging two corpora's sketches is an element-wise max (the property
+    * that makes it a distributed aggregate; spec-pinned).
+    *
+    * Output: exactly [[hllBuckets]] rows (bucket, r), absent buckets at 0.
+    * The estimate (spec-checked against exact distinct within the HLL
+    * error bound) is [[hllEstimate]] over these rows.
+    */
+  def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val h = md5(col("w"))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long")
+    val v = conv(substring(h, 3, 14), 16, 10).cast("long")
+    val rho = when(v === 0, lit(57L))
+      .otherwise(lit(57L) - length(bin(v)).cast("long"))
+    val regs = docs
+      .select(explode(filter(
+        split(lower(coalesce(col(textCol), lit(""))), " +"),
+        w => length(w) > 0)).as("w"))
+      .select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    spark.range(hllBuckets).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"))
+  }
+
+  /** DuckDB mirror of [[hllRegisters]] (same md5 slices, same bin()-based
+    * rho, same dense 0..m-1 bucket spine).
+    */
+  def hllRegistersSql(table: String, textExpr: String): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM $table),
+       |pr AS (SELECT
+       |    CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) AS bucket,
+       |    CAST(('0x' || substr(md5(w), 3, 14)) AS BIGINT) AS v
+       |  FROM tok),
+       |rr AS (SELECT bucket,
+       |    max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS r
+       |  FROM pr GROUP BY bucket)
+       |SELECT gs.bucket, CAST(coalesce(rr.r, 0) AS BIGINT) AS r
+       |FROM (SELECT unnest(generate_series(0, ${hllBuckets - 1})) AS bucket) gs
+       |LEFT JOIN rr USING (bucket)""".stripMargin
+
+  /** Driver-side HLL estimate from a collected register table, with the
+    * standard small-range (linear counting) correction. Plain doubles are
+    * fine here: this runs on m values on the driver, determinism across
+    * engines is carried by the REGISTERS (the oracle-checked state), and
+    * the estimate is only ever compared against an error bound.
+    */
+  def hllEstimate(registers: Map[Long, Long]): Double = {
+    val m = hllBuckets.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val z = (0 until hllBuckets)
+      .map(b => math.pow(2.0, -registers.getOrElse(b.toLong, 0L).toDouble))
+      .sum
+    val raw = alpha * m * m / z
+    val zeros = (0 until hllBuckets)
+      .count(b => registers.getOrElse(b.toLong, 0L) == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
   /** 64-bit polynomial rolling hash of the normalized text (the non-SQL
     * fingerprint; used for cheap near-line dedup joins).
     */

@@ -766,4 +766,32 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == kept.toSet)
   }
+
+  test("hllRegisters: duplicate-invariant, merge = elementwise max, estimate in bound") {
+    import spark.implicits._
+    def regs(texts: Seq[String]): Map[Long, Long] =
+      TextOps.hllRegisters(texts.toDF("text"), "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixed output spine
+    val a = regs(Seq("alpha beta gamma", "delta epsilon"))
+    assert(a.size == TextOps.hllBuckets)
+    assert(a.keySet == (0L until TextOps.hllBuckets.toLong).toSet)
+    // duplicates cannot move a max: sketch of the tripled corpus is equal
+    val aDup = regs(Seq.fill(3)("alpha beta gamma alpha") :+ "delta epsilon")
+    assert(aDup == a)
+    // distributed-merge property: sketch(A ∪ B) = elementwise max
+    val b = regs(Seq("zeta eta theta iota kappa"))
+    val ab = regs(Seq("alpha beta gamma", "delta epsilon",
+      "zeta eta theta iota kappa"))
+    assert(ab == a.map { case (k, v) => k -> math.max(v, b(k)) })
+    // estimate accuracy: 4000 distinct tokens, m=256 -> rse ~6.5%; assert
+    // within 3 sigma (deterministic — this pins THIS hash's actual error)
+    val big = (0 until 4000).grouped(50)
+      .map(g => g.map(i => s"tok$i").mkString(" ")).toSeq
+    val est = TextOps.hllEstimate(regs(big))
+    assert(math.abs(est - 4000.0) / 4000.0 < 0.2, s"estimate $est")
+    // small-range correction kicks in and is sane on tiny corpora
+    val tiny = TextOps.hllEstimate(regs(Seq("one two three")))
+    assert(tiny > 0.0 && tiny < 30.0, s"tiny estimate $tiny")
+  }
 }
