@@ -273,6 +273,13 @@ object WebGraph {
           .join(counts, Seq("host"), "left")
           .select(col("host"),
             coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          // observed during the checkpoint materialization (zero extra
+          // jobs); ALSO what lets PlanGuardSpec capture the real internal
+          // plan from the listener channel — the returned DF is a
+          // checkpoint scan (the minhashLsh caveat)
+          .observe("graft.webgraph.triangles",
+            count(lit(1)).as("n_hosts"),
+            sum(col("n_tri")).as("tri_mass"))
           // materialize before the persisted inputs are released below
           .localCheckpoint(true)
       } finally { oriented.unpersist(); () }

@@ -50,7 +50,16 @@ object PlanCheck {
       // broadcast, narrow fan-out), bucketed shuffle (window partitioned
       // BY the bucket, broadcast offsets)
       "tq_classifier_score", "tq_corpus_stats", "tq_domain_epochs",
-      "tq_corpus_shuffle")
+      "tq_corpus_shuffle",
+      // final round-5 batch: temporal joins (as-of must be ONE window
+      // over the union — no nested loop; range-count a plain equi-join on
+      // (k, bin)), n-gram counts + HLL registers (narrow explode, one
+      // partial-agg shuffle), keep-best cluster pick (struct-max agg, no
+      // per-cluster window). web_host_triangles returns a checkpoint scan,
+      // so its plan is pinned in PlanGuardSpec via the observe-metric
+      // listener channel instead.
+      "ev_asof_join", "ev_range_join",
+      "tok_ngram_counts", "tq_hll_registers", "dedup_cluster_best")
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect() // execute so AQE finalizes the physical plan

@@ -91,6 +91,29 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "sigs cache not in the plan")
   }
 
+  test("as-of join is ONE window over the union — no join operator at all") {
+    val df = SparkEntry.queries("ev_asof_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(800)}")
+  }
+
+  test("range-count and triangle counting plan as equi-joins (no nested loop)") {
+    val pr = executedPlan("ev_range_join")
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(800))
+    // triangles return a checkpoint scan; the real plan surfaces through
+    // the observe-metric listener channel (the minhashLsh audit pattern)
+    val pt = internalExecutedPlan("web_host_triangles",
+      "graft.webgraph.triangles")
+    assert(!pt.contains("CartesianProduct") &&
+      !pt.contains("BroadcastNestedLoopJoin"), pt.take(800))
+    // and the wedge stage is really join-shaped (not collapsed to a scan)
+    assert(pt.contains("Join"), pt.take(800))
+  }
+
   test("langid stays a narrow single-scan aggregation (no join, no extra scan)") {
     val df = SparkEntry.queries("tq_langid")(spark, sf)
     df.collect()
