@@ -851,6 +851,10 @@ object SparkEntry {
     // engine-private HLL++ layout); estimate accuracy is spec-checked ----
     "tq_hll_registers" -> ((s, dir) =>
       graft.textops.TextOps.hllRegisters(t(s, dir, "documents"), "text")),
+    // ---- Count-Min sketch: point-frequency/heavy-hitter counters in
+    // O(d·w) space; counter STATE oracled, estimates spec-checked ----
+    "tq_cms_counters" -> ((s, dir) =>
+      graft.textops.TextOps.cmsCounters(t(s, dir, "documents"), "text")),
     // ---- cluster dedup, keep-BEST-quality variant (same rare-shingle
     // edges + CC engine as dedup_cluster_pick; representative = quality
     // argmax instead of keep-first) ----
@@ -1603,6 +1607,8 @@ object SparkEntry {
       graft.textops.Tokenizer.ngramCountsSql("documents", "text", 3, 2L),
     "tq_hll_registers" ->
       graft.textops.TextOps.hllRegistersSql("documents", "text"),
+    "tq_cms_counters" ->
+      graft.textops.TextOps.cmsCountersSql("documents", "text"),
     "ev_asof_join" -> graft.operators.Temporal.asOfSql(
       """SELECT user_id AS k, ts, event_id AS lid FROM events
         | WHERE event_type = 'click'""".stripMargin,

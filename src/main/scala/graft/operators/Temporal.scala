@@ -109,8 +109,14 @@ object Temporal {
     * the inequality join's per-key quadratic product, this is the
     * difference between a shuffle and a cartesian at log scale.
     *
-    * Contracts: left = (k, ts, lid); right = (k, ts). `windowUs` in
-    * microseconds, > 0. Output (lid, n_in_window), zeros included.
+    * Contracts: left = (k, ts, lid) with lid unique (duplicate lids merge
+    * in the final groupBy); right = (k, ts); timestamps post-epoch — the
+    * bin arithmetic uses `div`, which truncates toward zero, so NEGATIVE
+    * epoch micros would bin one off (Spark `div` truncates where DuckDB
+    * `//` floors; they only agree on non-negative operands, the same
+    * reason every integer mirror in this repo keeps its operands
+    * non-negative). `windowUs` in microseconds, > 0.
+    * Output (lid, n_in_window), zeros included.
     */
   def rangeCount(left: DataFrame, right: DataFrame,
       windowUs: Long): DataFrame = {

@@ -1648,6 +1648,86 @@ object TextOps {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  /** Count-Min sketch depth (d independent hash rows) and width (counters
+    * per row). ε = e/w ≈ 0.53% of stream mass, δ = e^-d ≈ 1.8%.
+    */
+  val cmsDepth = 4
+  val cmsWidth = 512
+
+  /** Deterministic Count-Min sketch of the corpus token stream (Cormode &
+    * Muthukrishnan 2005, "An improved data stream summary: the count-min
+    * sketch and its applications") — point-frequency / heavy-hitter
+    * estimates ("how often does this phrase occur corpus-wide?") in
+    * O(d·w) space, where the exact answer is a corpus-sized groupBy.
+    *
+    * Same stance as [[hllRegisters]]: the full counter STATE is pinned
+    * cross-engine (row-salted md5 column hashes, integer sums), the
+    * estimate ([[cmsEstimate]]) is spec-checked against exact counts. The
+    * job is one narrow scan with a fixed ×[[cmsDepth]] row blowup and ONE
+    * partial-aggregated groupBy onto at most d·w = 2048 keys — shuffle
+    * bytes are O(d·w), corpus-independent; sketches of two corpora merge
+    * by element-wise ADDITION (spec-pinned), which is what makes it a
+    * distributed aggregate.
+    *
+    * Output: exactly d·w rows (r, c, cnt), absent cells at 0.
+    */
+  def cmsCounters(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val cells = docs
+      .select(explode(filter(
+        split(lower(coalesce(col(textCol), lit(""))), " +"),
+        w => length(w) > 0)).as("w"))
+      .select(explode(sequence(lit(0), lit(cmsDepth - 1))).as("r"),
+        col("w"))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("w"))), 1, 8), 16, 10).cast("long") % cmsWidth).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    spark.range(cmsDepth.toLong * cmsWidth)
+      .select(expr(s"id div $cmsWidth").as("r"),
+        (col("id") % cmsWidth).as("c"))
+      .join(cells.select(col("r").cast("long").as("r"), col("c"),
+        col("cnt")), Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** DuckDB mirror of [[cmsCounters]] (same row-salted md5 hashes, same
+    * dense (r, c) spine).
+    */
+  def cmsCountersSql(table: String, textExpr: String): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
+       |    w -> len(w) > 0)) AS w
+       |  FROM $table),
+       |cells AS (SELECT r,
+       |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
+       |      AS BIGINT) % $cmsWidth AS c
+       |  FROM tok, (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS r)),
+       |agg AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+       |spine AS (SELECT r, c
+       |  FROM (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS r),
+       |       (SELECT unnest(generate_series(0, ${cmsWidth - 1})) AS c))
+       |SELECT CAST(spine.r AS BIGINT) AS r, CAST(spine.c AS BIGINT) AS c,
+       |  CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt
+       |FROM spine LEFT JOIN agg ON spine.r = agg.r AND spine.c = agg.c""".stripMargin
+
+  /** The column a token hashes to in row `r` — the same salted md5 the
+    * distributed sketch uses, for driver-side point queries.
+    */
+  def cmsColumn(r: Int, token: String): Long =
+    java.lang.Long.parseLong(
+      graft.util.Hashing.md5Hex(s"$r:$token").substring(0, 8), 16) % cmsWidth
+
+  /** Point-frequency estimate from a collected sketch: min over rows of
+    * the addressed counter — an OVERestimate of the true count, never
+    * under (the CMS guarantee; spec-pinned both ways).
+    */
+  def cmsEstimate(counters: Map[(Long, Long), Long], token: String): Long =
+    (0 until cmsDepth)
+      .map(r => counters.getOrElse((r.toLong, cmsColumn(r, token)), 0L))
+      .min
+
   /** 64-bit polynomial rolling hash of the normalized text (the non-SQL
     * fingerprint; used for cheap near-line dedup joins).
     */

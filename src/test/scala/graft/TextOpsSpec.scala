@@ -794,4 +794,30 @@ class TextOpsSpec extends AnyFunSuite {
     val tiny = TextOps.hllEstimate(regs(Seq("one two three")))
     assert(tiny > 0.0 && tiny < 30.0, s"tiny estimate $tiny")
   }
+
+  test("cmsCounters: never underestimates, exact on light cells, merges by addition") {
+    import spark.implicits._
+    def cms(texts: Seq[String]): Map[(Long, Long), Long] =
+      TextOps.cmsCounters(texts.toDF("text"), "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val corpus = Seq.fill(7)("hot hot hot filler") ++
+      (0 until 300).map(i => s"pad$i rare")
+    val sk = cms(corpus)
+    assert(sk.size == TextOps.cmsDepth * TextOps.cmsWidth)
+    // total mass per row = stream length (each token lands once per row)
+    val mass = corpus.flatMap(_.split(" ")).size.toLong
+    (0L until TextOps.cmsDepth.toLong).foreach { r =>
+      assert(sk.collect { case ((`r`, _), c0) => c0 }.sum == mass)
+    }
+    // CMS guarantee: estimate >= exact (303 distinct tokens over 4x512
+    // cells; the min over 4 rows keeps these near-exact, >= is the bound)
+    assert(TextOps.cmsEstimate(sk, "hot") >= 21L)
+    assert(TextOps.cmsEstimate(sk, "rare") >= 300L)
+    assert(TextOps.cmsEstimate(sk, "absent-token") >= 0L)
+    // merge = element-wise addition
+    val a = cms(Seq("x y z"))
+    val b = cms(Seq("x x w"))
+    val ab = cms(Seq("x y z", "x x w"))
+    assert(ab == a.map { case (k, v) => k -> (v + b(k)) })
+  }
 }
