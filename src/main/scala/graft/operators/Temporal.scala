@@ -39,9 +39,12 @@ object Temporal {
     * struct, so all matched fields come from the same right row even when
     * the payload is NULL.
     *
-    * Contracts: left = (k, ts, lid); right = (k, ts, rid, pay) — k and ts
-    * non-null (filter upstream: a NULL key is its own window partition and
-    * a NULL ts sorts first, neither is a meaningful match);
+    * Contracts: left = (k, ts, lid) with lid UNIQUE (the Spark side would
+    * happily match duplicate-lid rows independently, but the SQL mirror's
+    * per-lid window pools them — same contract as [[rangeCount]]);
+    * right = (k, ts, rid, pay); k and ts non-null (filter upstream: a NULL
+    * key is its own window partition and a NULL ts sorts first, neither is
+    * a meaningful match);
     * output = (lid, k, rid, gap_us, pay) with no-match rows coalesced to
     * (rid = -1, gap_us = -1, pay = 0.0) so the result is NULL-free for
     * cross-engine hashing.

@@ -54,9 +54,7 @@ object Classifier {
       minCount: Long = 3L): DataFrame = {
     val counts = docs
       .select(col(labelCol).as("y"),
-        explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
-          .as("term"))
-      .filter(length(col("term")) > 0)
+        explode(TextOps.tokenArray(col(textCol))).as("term"))
       .groupBy(col("term"))
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
@@ -105,9 +103,7 @@ object Classifier {
       weights: DataFrame): DataFrame = {
     val hits = docs
       .select(col(idCol).as("doc_id"),
-        explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
-          .as("term"))
-      .filter(length(col("term")) > 0)
+        explode(TextOps.tokenArray(col(textCol))).as("term"))
       .join(broadcast(weights), Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("weight")).as("score"),
@@ -138,9 +134,7 @@ object Classifier {
        |  SELECT $idExpr AS doc_id, text, $labelExpr AS y FROM $table
        |  WHERE ($split) = 'train'),
        |trterms AS (
-       |  SELECT y, unnest(list_filter(
-       |    string_split_regex(lower(coalesce(text, '')), ' +'),
-       |    x -> len(x) > 0)) AS term
+       |  SELECT y, unnest(${TextOps.tokenArraySql("text")}) AS term
        |  FROM tr),
        |tot AS (
        |  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tpos,
@@ -155,9 +149,7 @@ object Classifier {
        |  FROM trterms GROUP BY term
        |  HAVING count(*) >= $minCount),
        |terms AS (
-       |  SELECT $idExpr AS doc_id, unnest(list_filter(
-       |    string_split_regex(lower(coalesce(text, '')), ' +'),
-       |    x -> len(x) > 0)) AS term
+       |  SELECT $idExpr AS doc_id, unnest(${TextOps.tokenArraySql("text")}) AS term
        |  FROM $table),
        |hits AS (
        |  SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS score,

@@ -203,6 +203,23 @@ object TextOps {
 
   // ---- token counting -----------------------------------------------------
 
+  /** THE shared corpus tokenization — lowercase, ' +'-split, empties
+    * dropped — as one column expression, so a tokenization tweak can never
+    * drift between the operators that share it (keywords, classifier,
+    * BPE/n-gram training, HLL/CMS sketches — the [[fingerprintWs]] lesson
+    * applied to tokens). [[Tokenizer.wordsOf]] is the same contract in
+    * plain Scala for driver-side reference paths.
+    */
+  def tokenArray(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), " +"), w => length(w) > 0)
+
+  /** DuckDB rendering of [[tokenArray]] (generated beside it — single
+    * source of truth for both engines).
+    */
+  def tokenArraySql(textExpr: String): String =
+    s"list_filter(string_split_regex(lower(coalesce($textExpr, '')), " +
+      "' +'), w -> len(w) > 0)"
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols — the
     * regex is RE2/Java-compatible so the DuckDB oracle matches exactly.
     */
@@ -1345,9 +1362,7 @@ object TextOps {
       textCol: String,
       k: Int): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
-        .as("term"))
-      .filter(length(col("term")) > 0)
+      explode(tokenArray(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1364,9 +1379,7 @@ object TextOps {
   /** DuckDB mirror of [[keywords]] over a (doc_id, text) table. */
   def keywordsSql(table: String, k: Int): String =
     s"""WITH terms AS (
-       |  SELECT doc_id, unnest(list_filter(
-       |    string_split_regex(lower(coalesce(text, '')), ' +'),
-       |    x -> len(x) > 0)) AS term
+       |  SELECT doc_id, unnest(${tokenArraySql("text")}) AS term
        |  FROM $table),
        |tf AS (SELECT doc_id, term, count(*) AS tf
        |       FROM terms GROUP BY doc_id, term),
@@ -1600,9 +1613,7 @@ object TextOps {
     val rho = when(v === 0, lit(57L))
       .otherwise(lit(57L) - length(bin(v)).cast("long"))
     val regs = docs
-      .select(explode(filter(
-        split(lower(coalesce(col(textCol), lit(""))), " +"),
-        w => length(w) > 0)).as("w"))
+      .select(explode(tokenArray(col(textCol))).as("w"))
       .select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
     spark.range(hllBuckets).toDF("bucket")
@@ -1615,9 +1626,7 @@ object TextOps {
     */
   def hllRegistersSql(table: String, textExpr: String): String =
     s"""WITH tok AS (
-       |  SELECT unnest(list_filter(
-       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
-       |    w -> len(w) > 0)) AS w
+       |  SELECT unnest(${tokenArraySql(textExpr)}) AS w
        |  FROM $table),
        |pr AS (SELECT
        |    CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) AS bucket,
@@ -1674,9 +1683,7 @@ object TextOps {
   def cmsCounters(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val cells = docs
-      .select(explode(filter(
-        split(lower(coalesce(col(textCol), lit(""))), " +"),
-        w => length(w) > 0)).as("w"))
+      .select(explode(tokenArray(col(textCol))).as("w"))
       .select(explode(sequence(lit(0), lit(cmsDepth - 1))).as("r"),
         col("w"))
       .select(col("r"),
@@ -1696,9 +1703,7 @@ object TextOps {
     */
   def cmsCountersSql(table: String, textExpr: String): String =
     s"""WITH tok AS (
-       |  SELECT unnest(list_filter(
-       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
-       |    w -> len(w) > 0)) AS w
+       |  SELECT unnest(${tokenArraySql(textExpr)}) AS w
        |  FROM $table),
        |cells AS (SELECT r,
        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))

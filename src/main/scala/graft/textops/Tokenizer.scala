@@ -113,9 +113,7 @@ object Tokenizer {
     import spark.implicits._
     // the ONE corpus-sized pass: distinct-word frequencies
     var vocab = docs
-      .select(explode(split(lower(coalesce(col(textCol), lit(""))), " +"))
-        .as("w"))
-      .filter(length(col("w")) > 0)
+      .select(explode(TextOps.tokenArray(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(split(col("w"), "").as("syms"), col("n"))
       .localCheckpoint(true)
@@ -256,9 +254,7 @@ object Tokenizer {
       docs: DataFrame, textCol: String, n: Int,
       minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val words = filter(
-      split(lower(coalesce(col(textCol), lit(""))), " +"),
-      w => length(w) > 0)
+    val words = TextOps.tokenArray(col(textCol))
     docs
       .select(words.as("ws"))
       .filter(size(col("ws")) >= n)
@@ -277,9 +273,7 @@ object Tokenizer {
       table: String, textExpr: String, n: Int,
       minCount: Long = 2L): String =
     s"""WITH w AS (
-       |  SELECT list_filter(
-       |    string_split_regex(lower(coalesce($textExpr, '')), ' +'),
-       |    x -> len(x) > 0) AS ws
+       |  SELECT ${TextOps.tokenArraySql(textExpr)} AS ws
        |  FROM $table),
        |g AS (
        |  SELECT unnest(list_transform(

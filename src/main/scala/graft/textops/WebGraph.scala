@@ -156,10 +156,12 @@ object WebGraph {
     * the [[TextOps.md5Bucket]] bridge widened to an id space. Both engines
     * render it identically (`conv(substr(md5(h),1,15),16,10)` vs
     * `CAST('0x' || substr(md5(h),1,15) AS BIGINT)`), 15 hex digits = 60
-    * bits so the BIGINT is always positive and never overflows. Collisions
-    * need ~2^30 distinct hosts for even odds (birthday bound) — far above
-    * any real host count — and a collision would only merge two components
-    * optimistically, identically in both engines.
+    * bits so the BIGINT is always positive and never overflows. A
+    * collision would merge two components on the Spark side ONLY (the SQL
+    * mirror closes over host STRINGS and applies the id just for the final
+    * min-label), so a collision shows up as a red oracle rather than a
+    * silent agreement — acceptable because even odds need ~2^30 distinct
+    * hosts (birthday bound), far above any real host count.
     */
   def hostId(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(host), 1, 15), 16, 10).cast("long")
@@ -184,17 +186,24 @@ object WebGraph {
     * Output: (host, component_id) covering every host in the edge set.
     */
   def hostComponents(edges0: DataFrame): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst"))
-    val hosts = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host")))
-      .distinct()
-      .withColumn("hid", hostId(col("host")))
-    val cc = graft.canon.Canon.connectedComponents(
-      edges.select(hostId(col("src")).as("src"),
-        hostId(col("dst")).as("dst")))
-    hosts.join(cc, hosts("hid") === cc("v"), "left")
-      .select(col("host"),
-        coalesce(col("component"), col("hid")).as("component_id"))
+    // persisted: consumed by BOTH the host spine and the CC engine — the
+    // hostRank stance; without it the corpus-scan link extraction behind
+    // edges0 runs twice (different projections, no exchange reuse)
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    try {
+      val hosts = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host")))
+        .distinct()
+        .withColumn("hid", hostId(col("host")))
+      val cc = graft.canon.Canon.connectedComponents(
+        edges.select(hostId(col("src")).as("src"),
+          hostId(col("dst")).as("dst")))
+      hosts.join(cc, hosts("hid") === cc("v"), "left")
+        .select(col("host"),
+          coalesce(col("component"), col("hid")).as("component_id"))
+        // materialize before the finally releases the edge cache
+        .localCheckpoint(true)
+    } finally { edges.unpersist(); () }
   }
 
   /** DuckDB mirror of [[hostGraphEdges]] + [[hostComponents]] over a
@@ -229,7 +238,10 @@ object WebGraph {
     * groupBy, the wedge self-join keyed on the low vertex, and the closing
     * -edge join keyed on (v, w) — all partial-aggregatable or co-
     * partitioned; no all-pairs stage exists. Output (host, n_tri) covers
-    * every host in the edge set, zeros included.
+    * every host with at least one NON-SELF edge, zeros included —
+    * self-loop-only hosts are dropped with their loops (they cannot be in
+    * a triangle; join [[hostComponents]], which keeps them as singletons,
+    * for a full-spine view). The mirror drops them identically.
     */
   def triangleCounts(edges0: DataFrame): DataFrame = {
     val und = edges0
