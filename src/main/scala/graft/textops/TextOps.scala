@@ -1607,13 +1607,15 @@ object TextOps {
     */
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val h = md5(col("w"))
-    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long")
-    val v = conv(substring(h, 3, 14), 16, 10).cast("long")
+    val bucket = conv(substring(col("h"), 1, 2), 16, 10).cast("long")
+    val v = conv(substring(col("h"), 3, 14), 16, 10).cast("long")
     val rho = when(v === 0, lit(57L))
       .otherwise(lit(57L) - length(bin(v)).cast("long"))
     val regs = docs
       .select(explode(tokenArray(col(textCol))).as("w"))
+      // ONE md5 per token in its own projection — bucket and v are two
+      // slices of the same digest, not two digests
+      .select(md5(col("w")).as("h"))
       .select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
     spark.range(hllBuckets).toDF("bucket")
@@ -1670,25 +1672,31 @@ object TextOps {
     * O(d·w) space, where the exact answer is a corpus-sized groupBy.
     *
     * Same stance as [[hllRegisters]]: the full counter STATE is pinned
-    * cross-engine (row-salted md5 column hashes, integer sums), the
-    * estimate ([[cmsEstimate]]) is spec-checked against exact counts. The
-    * job is one narrow scan with a fixed ×[[cmsDepth]] row blowup and ONE
-    * partial-aggregated groupBy onto at most d·w = 2048 keys — shuffle
-    * bytes are O(d·w), corpus-independent; sketches of two corpora merge
-    * by element-wise ADDITION (spec-pinned), which is what makes it a
-    * distributed aggregate.
+    * cross-engine, the estimate ([[cmsEstimate]]) is spec-checked against
+    * exact counts. The d row-hashes are the d non-overlapping 32-bit
+    * SLICES of ONE md5 digest per token (pairwise-independence is per
+    * slice, which is all CMS requires) — hashing is the dominant cost of
+    * a sketch pass at corpus scale, and d digests per token would
+    * quadruple it for nothing. The job is one narrow scan with a fixed
+    * ×[[cmsDepth]] row blowup and ONE partial-aggregated groupBy onto at
+    * most d·w = 2048 keys — shuffle bytes are O(d·w),
+    * corpus-independent; sketches of two corpora merge by element-wise
+    * ADDITION (spec-pinned), which is what makes it a distributed
+    * aggregate.
     *
     * Output: exactly d·w rows (r, c, cnt), absent cells at 0.
     */
   def cmsCounters(docs: DataFrame, textCol: String): DataFrame = {
+    require(cmsDepth * 8 <= 32, "md5 has 32 hex digits to slice")
     val spark = docs.sparkSession
     val cells = docs
       .select(explode(tokenArray(col(textCol))).as("w"))
+      .select(md5(col("w")).as("h"))
       .select(explode(sequence(lit(0), lit(cmsDepth - 1))).as("r"),
-        col("w"))
+        col("h"))
       .select(col("r"),
-        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("w"))), 1, 8), 16, 10).cast("long") % cmsWidth).as("c"))
+        (conv(expr("substring(h, 1 + 8 * r, 8)"), 16, 10).cast("long")
+          % cmsWidth).as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
     spark.range(cmsDepth.toLong * cmsWidth)
       .select(expr(s"id div $cmsWidth").as("r"),
@@ -1698,16 +1706,16 @@ object TextOps {
       .select(col("r"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
-  /** DuckDB mirror of [[cmsCounters]] (same row-salted md5 hashes, same
-    * dense (r, c) spine).
+  /** DuckDB mirror of [[cmsCounters]] (same one-digest-four-slices
+    * layout, same dense (r, c) spine).
     */
   def cmsCountersSql(table: String, textExpr: String): String =
     s"""WITH tok AS (
-       |  SELECT unnest(${tokenArraySql(textExpr)}) AS w
+       |  SELECT md5(unnest(${tokenArraySql(textExpr)})) AS h
        |  FROM $table),
        |cells AS (SELECT r,
-       |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 8))
-       |      AS BIGINT) % $cmsWidth AS c
+       |    CAST(('0x' || substr(h, 1 + 8 * r, 8)) AS BIGINT)
+       |      % $cmsWidth AS c
        |  FROM tok, (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS r)),
        |agg AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
        |spine AS (SELECT r, c
@@ -1717,12 +1725,13 @@ object TextOps {
        |  CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt
        |FROM spine LEFT JOIN agg ON spine.r = agg.r AND spine.c = agg.c""".stripMargin
 
-  /** The column a token hashes to in row `r` — the same salted md5 the
+  /** The column a token hashes to in row `r` — the same digest slice the
     * distributed sketch uses, for driver-side point queries.
     */
   def cmsColumn(r: Int, token: String): Long =
     java.lang.Long.parseLong(
-      graft.util.Hashing.md5Hex(s"$r:$token").substring(0, 8), 16) % cmsWidth
+      graft.util.Hashing.md5Hex(token).substring(8 * r, 8 * r + 8),
+      16) % cmsWidth
 
   /** Point-frequency estimate from a collected sketch: min over rows of
     * the addressed counter — an OVERestimate of the true count, never
