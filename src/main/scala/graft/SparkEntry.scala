@@ -855,6 +855,30 @@ object SparkEntry {
     // O(d·w) space; counter STATE oracled, estimates spec-checked ----
     "tq_cms_counters" -> ((s, dir) =>
       graft.textops.TextOps.cmsCounters(t(s, dir, "documents"), "text")),
+    // ---- URL-level dedup: canonicalize-then-keep-first — the stage every
+    // web pipeline runs BEFORE content dedup (two crawls of one page under
+    // tracking-param/case/www variants are one document). Synthetic per-doc
+    // urls: messy form for even docs, clean form for odd — both canonicalize
+    // to doc_id % 50, so every canonical group spans messy+clean variants.
+    // keep = min doc_id per canonical url (partial-agg min + rejoin, the
+    // dedup_exact shape — no per-group window) ----
+    "dedup_url_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("https://WWW.Example.com/Doc/"),
+              (col("doc_id") % 25).cast("string"),
+              lit("?utm_source=crawl&fbclid=zz#frag")))
+            .otherwise(concat(lit("https://example.com/Doc/"),
+              (col("doc_id") % 25).cast("string"), lit("/"))))
+      val canon = docs.select(col("doc_id"),
+        graft.textops.TextOps.urlCanonicalize(col("url")).as("canon_url"))
+      val first = canon.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      canon.join(first, Seq("canon_url"))
+        .select(col("doc_id"), col("canon_url"),
+          (col("doc_id") === col("first_doc")).as("keep"))
+    }),
     // ---- cluster dedup, keep-BEST-quality variant (same rare-shingle
     // edges + CC engine as dedup_cluster_pick; representative = quality
     // argmax instead of keep-first) ----
@@ -1609,6 +1633,22 @@ object SparkEntry {
       graft.textops.TextOps.hllRegistersSql("documents", "text"),
     "tq_cms_counters" ->
       graft.textops.TextOps.cmsCountersSql("documents", "text"),
+    "dedup_url_exact" -> {
+      val canon = graft.textops.TextOps.urlCanonicalizeSql("url")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'https://WWW.Example.com/Doc/' || CAST(doc_id % 25 AS VARCHAR)
+         |        || '?utm_source=crawl&fbclid=zz#frag'
+         |      ELSE 'https://example.com/Doc/' || CAST(doc_id % 25 AS VARCHAR) || '/'
+         |    END AS url
+         |  FROM documents),
+         |c AS (SELECT doc_id, $canon AS canon_url FROM d),
+         |f AS (SELECT canon_url, min(doc_id) AS first_doc
+         |      FROM c GROUP BY canon_url)
+         |SELECT c.doc_id, c.canon_url, (c.doc_id = f.first_doc) AS keep
+         |FROM c JOIN f USING (canon_url)""".stripMargin
+    },
     "ev_asof_join" -> graft.operators.Temporal.asOfSql(
       """SELECT user_id AS k, ts, event_id AS lid FROM events
         | WHERE event_type = 'click'""".stripMargin,
