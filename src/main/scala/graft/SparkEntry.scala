@@ -622,12 +622,16 @@ object SparkEntry {
     // (placeholder-count columns use the replace-length trick so both
     // engines produce the same BIGINTs; fp pins the exact redacted text)
     "tq_redact_pii" -> ((s, dir) => {
+      // r6: single-scan augmentation — the filter-each-branch + union form
+      // scanned the base table twice; a row-local when() plants the same
+      // values in one pass (guide §2.4: one scan, no union)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 7 === 0)
-        .withColumn("text", concat(col("text"), lit(" reach user"),
-          col("doc_id").cast("string"),
-          lit("@mail.example.org at 192.168.1.77 or +1 555-123-4567")))
-      val aug = docs.filter(col("doc_id") % 7 =!= 0).unionByName(planted)
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.org at 192.168.1.77 or +1 555-123-4567")))
+          .otherwise(col("text")).as("text"))
       val red = graft.textops.TextOps.redactPii(col("text"))
       def cnt(tok: String): org.apache.spark.sql.Column =
         ((length(red) - length(replace(red, lit(tok), lit("")))) /
@@ -641,23 +645,26 @@ object SparkEntry {
     // production shape for million-domain RefinedWeb-style lists)
     "tq_url_blocklist" -> ((s, dir) => {
       import s.implicits._
+      // r6: single-scan augmentation (see tq_redact_pii)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"),
-          lit(" see https://ads.example.com/x?id="),
-          col("doc_id").cast("string"),
-          lit(" and https://en.wikipedia.org/wiki/Page"),
-          lit(" plus https://ads.example.com/y")))
-      val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" see https://ads.example.com/x?id="),
+            col("doc_id").cast("string"),
+            lit(" and https://en.wikipedia.org/wiki/Page"),
+            lit(" plus https://ads.example.com/y")))
+          .otherwise(col("text")).as("text"))
       graft.textops.TextOps.urlBlocklistVerdict(
         aug, "doc_id", "text", urlBlocklist.toDF("domain"))
     }),
     // ---- URL canonicalization (normalize-before-URL-dedup) ----
     "tq_url_canon" -> ((s, dir) => {
+      // r6: single-scan augmentation (see tq_redact_pii)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(plantedUrls)))
-      val aug = docs.filter(col("doc_id") % 5 =!= 0).unionByName(planted)
+      val aug = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(plantedUrls)))
+          .otherwise(col("text")).as("text"))
       aug
         .select(explode(call_function("regexp_extract_all",
           coalesce(col("text"), lit("")),
@@ -762,6 +769,13 @@ object SparkEntry {
       val verdicts = graft.textops.TextOps.qualityFilterPipeline(
         docs, "doc_id", "text", blockedDomains = urlBlocklist,
         allowedLangs = Seq("en"))
+      // r6 NOTE (measured, kept as-is): kept1 textually feeds three
+      // consumers, but its expensive verdict subtree sits under identical
+      // doc_id exchanges in every branch, so AQE query-stage reuse already
+      // computes it once — persisting kept1 + eagerly checkpointing the
+      // final aggregate was MEASURED SLOWER at sf0.1 (warm 2.90 → 3.19 s:
+      // the columnar cache encode of the text column costs more than the
+      // post-shuffle join re-execution it saves) and was reverted.
       val kept1 = docs.join(
         verdicts.filter(col("verdict") === "keep").select(col("doc_id")),
         Seq("doc_id"))
@@ -859,7 +873,8 @@ object SparkEntry {
     // web pipeline runs BEFORE content dedup (two crawls of one page under
     // tracking-param/case/www variants are one document). Synthetic per-doc
     // urls: messy form for even docs, clean form for odd — both canonicalize
-    // to doc_id % 50, so every canonical group spans messy+clean variants.
+    // to doc_id % 25 (25 canonical groups), so every canonical group spans
+    // messy+clean variants.
     // keep = min doc_id per canonical url (partial-agg min + rejoin, the
     // dedup_exact shape — no per-group window) ----
     "dedup_url_exact" -> ((s, dir) => {
@@ -871,13 +886,26 @@ object SparkEntry {
               lit("?utm_source=crawl&fbclid=zz#frag")))
             .otherwise(concat(lit("https://example.com/Doc/"),
               (col("doc_id") % 25).cast("string"), lit("/"))))
+      // r6: canon feeds BOTH the min-id aggregate and the keep join; the
+      // two exchanges have different children (partial-agg vs plain), so
+      // ReuseExchange cannot fire and the multi-step regex canonicalization
+      // chain ran twice over every URL. Persist the narrow (id, canon_url)
+      // projection (guide §8: decide with small rows), materialize the
+      // result, release the cache — one canonicalization pass total.
       val canon = docs.select(col("doc_id"),
         graft.textops.TextOps.urlCanonicalize(col("url")).as("canon_url"))
-      val first = canon.groupBy(col("canon_url"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      canon.join(first, Seq("canon_url"))
-        .select(col("doc_id"), col("canon_url"),
-          (col("doc_id") === col("first_doc")).as("keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val first = canon.groupBy(col("canon_url"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        canon.join(first, Seq("canon_url"))
+          .select(col("doc_id"), col("canon_url"),
+            (col("doc_id") === col("first_doc")).as("keep"))
+          .localCheckpoint(true)
+      } finally {
+        canon.unpersist(false)
+        ()
+      }
     }),
     // ---- cluster dedup, keep-BEST-quality variant (same rare-shingle
     // edges + CC engine as dedup_cluster_pick; representative = quality
@@ -961,12 +989,20 @@ object SparkEntry {
         graft.textops.Multimodal.decodableTable(s, 120))
     }),
     // ---- A11: seen/unseen dictionary words (distinct + except) ----
+    // r6: the seen-surface set feeds BOTH branches (the union's seen arm
+    // and the except's right side). AQE stage reuse mostly already shares
+    // the pipeline subtree under the distinct's exchange (measured warm
+    // parity), but materializing the tiny distinct-word set once makes the
+    // one-pass execution structural — independent of exchange-canonical-
+    // ization luck — and removes the duplicated post-shuffle stages from
+    // the plan (fewer jobs/codegen units in the cold driver run).
     "kg_seen_unseen" -> ((s, _) => {
       import s.implicits._
-      val seen = seenSurfaces(s).withColumn("status", lit("seen"))
+      val seenWords = seenSurfaces(s).localCheckpoint(true)
+      val seen = seenWords.withColumn("status", lit("seen"))
       val refined = s.createDataset(
         graft.corpus.Vocab.refinedDict.keys.toSeq).toDF("word")
-      val unseen = refined.except(seen.select(col("word")))
+      val unseen = refined.except(seenWords)
         .withColumn("status", lit("unseen"))
       seen.unionByName(unseen)
     }),

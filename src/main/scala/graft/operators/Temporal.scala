@@ -44,7 +44,10 @@ object Temporal {
     * per-lid window pools them — same contract as [[rangeCount]]);
     * right = (k, ts, rid, pay); k and ts non-null (filter upstream: a NULL
     * key is its own window partition and a NULL ts sorts first, neither is
-    * a meaningful match);
+    * a meaningful match); rid >= 0 — part of the right-side contract (the
+    * non-negative-operand convention, like the div-based binning note in
+    * [[rangeCount]]): the no-match sentinel below is rid = -1, so a signed
+    * hashed rid of -1 would silently collide with it;
     * output = (lid, k, rid, gap_us, pay) with no-match rows coalesced to
     * (rid = -1, gap_us = -1, pay = 0.0) so the result is NULL-free for
     * cross-engine hashing.
@@ -112,8 +115,12 @@ object Temporal {
     * the inequality join's per-key quadratic product, this is the
     * difference between a shuffle and a cartesian at log scale.
     *
-    * Contracts: left = (k, ts, lid) with lid unique (duplicate lids merge
-    * in the final groupBy); right = (k, ts); timestamps post-epoch — the
+    * Contracts: left = (k, ts, lid) with lid UNIQUE — a HARD precondition:
+    * the final step is a left join from the un-deduplicated left spine, so
+    * duplicate lids would emit N identical rows (each carrying the merged
+    * total) while the SQL mirror's GROUP BY l.lid emits one — the engines
+    * diverge on row count if the contract is violated; right = (k, ts);
+    * timestamps post-epoch — the
     * bin arithmetic uses `div`, which truncates toward zero, so NEGATIVE
     * epoch micros would bin one off (Spark `div` truncates where DuckDB
     * `//` floors; they only agree on non-negative operands, the same

@@ -84,12 +84,19 @@ object WebGraph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = edges0.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
-    try {
+    // (src, dst, deg): reuses edges' src partitioning — AQE sees both
+    // sides pre-partitioned on src, no extra exchange for the edge side.
+    // r6: PERSISTED — left lazy, every iteration's checkpoint job re-ran
+    // the outdeg groupBy + degree join from the edge cache (3 extra
+    // edge-sized stages at 3 iterations; linear in iteration count at
+    // convergence-level counts). The degree join is computed once and each
+    // power step reads the cached (src, dst, deg) table directly.
+    val withDeg = {
       val outdeg = edges.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
-      // (src, dst, deg): reuses edges' src partitioning — AQE sees both
-      // sides pre-partitioned on src, no extra exchange for the edge side
-      val withDeg = edges.join(outdeg, Seq("src"))
+      edges.join(outdeg, Seq("src")).persist()
+    }
+    try {
       val nodes = edges.select(col("src").as("host"))
         .union(edges.select(col("dst").as("host")))
         .distinct().persist()
@@ -109,7 +116,11 @@ object WebGraph {
       // rank is already materialized; the persisted inputs can go
       nodes.unpersist()
       rank
-    } finally edges.unpersist()
+    } finally {
+      withDeg.unpersist()
+      edges.unpersist()
+      ()
+    }
   }
 
   /** The shared edge-extraction + node CTE prefix of the SQL mirrors
@@ -350,6 +361,15 @@ object WebGraph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = edges0.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
+    // r6: HITS probes edges from BOTH endpoints every round — the auth
+    // half-step joins on src (co-partitioned with the cache above, free),
+    // but the hub half-step joins on dst, which re-shuffled the whole
+    // corpus-sized edge table by dst ONCE PER ITERATION (the round-to-round
+    // hub input differs, so AQE stage reuse cannot carry the exchange
+    // across rounds). A second persisted copy partitioned by dst pays that
+    // shuffle exactly once; each round's hub join is then exchange-free on
+    // the edge side — per-iteration shuffle drops to the score tables only.
+    val edgesByDst = edges.repartition(col("dst")).persist()
     try {
       val nodes = edges.select(col("src").as("host"))
         .union(edges.select(col("dst").as("host")))
@@ -369,7 +389,7 @@ object WebGraph {
           .select(col("dst"),
             expr(s"raw div greatest(mx div $hitsScale, CAST(1 AS BIGINT))")
               .as("s"))
-        val hr = edges
+        val hr = edgesByDst
           .join(auth.withColumnRenamed("dst", "adst"),
             col("dst") === col("adst"))
           .groupBy(col("src")).agg(sum(col("s")).as("raw"))
@@ -390,7 +410,11 @@ object WebGraph {
         .localCheckpoint(true)
       nodes.unpersist()
       out
-    } finally edges.unpersist()
+    } finally {
+      edgesByDst.unpersist()
+      edges.unpersist()
+      ()
+    }
   }
 
   /** DuckDB mirror of [[hostGraphEdges]] + [[hits]] over a (source, text)
