@@ -1607,16 +1607,19 @@ object TextOps {
     */
   def hllRegisters(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val bucket = conv(substring(col("h"), 1, 2), 16, 10).cast("long")
-    val v = conv(substring(col("h"), 3, 14), 16, 10).cast("long")
+    // ONE md5 per token, sliced (bucket = hex digits 1-2, v = digits 3-16)
+    // — r6: via the fused codegen Md5Slices expression (one digest, direct
+    // nibble walk) instead of md5's 32-char hex render + two
+    // substring+conv string parses per token; value-identical by
+    // Md5SlicesSpec
+    val v = col("s").getItem(1)
     val rho = when(v === 0, lit(57L))
       .otherwise(lit(57L) - length(bin(v)).cast("long"))
     val regs = docs
       .select(explode(tokenArray(col(textCol))).as("w"))
-      // ONE md5 per token in its own projection — bucket and v are two
-      // slices of the same digest, not two digests
-      .select(md5(col("w")).as("h"))
-      .select(bucket.as("bucket"), rho.as("rho"))
+      .select(graft.functions.Md5Slices.md5_slices(col("w"), Seq(2, 14))
+        .as("s"))
+      .select(col("s").getItem(0).as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
     spark.range(hllBuckets).toDF("bucket")
       .join(regs, Seq("bucket"), "left")
@@ -1689,14 +1692,15 @@ object TextOps {
   def cmsCounters(docs: DataFrame, textCol: String): DataFrame = {
     require(cmsDepth * 8 <= 32, "md5 has 32 hex digits to slice")
     val spark = docs.sparkSession
+    // r6: ONE fused Md5Slices call per token (one digest, four 32-bit
+    // slices walked directly off the digest bytes) + posexplode, replacing
+    // the hex render + ×depth row blowup carrying the 32-char string +
+    // per-row substring/conv parse; value-identical by Md5SlicesSpec
     val cells = docs
       .select(explode(tokenArray(col(textCol))).as("w"))
-      .select(md5(col("w")).as("h"))
-      .select(explode(sequence(lit(0), lit(cmsDepth - 1))).as("r"),
-        col("h"))
-      .select(col("r"),
-        (conv(expr("substring(h, 1 + 8 * r, 8)"), 16, 10).cast("long")
-          % cmsWidth).as("c"))
+      .select(posexplode(graft.functions.Md5Slices
+        .md5_slices(col("w"), Seq.fill(cmsDepth)(8))).as(Seq("r", "v")))
+      .select(col("r"), (col("v") % cmsWidth).as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
     spark.range(cmsDepth.toLong * cmsWidth)
       .select(expr(s"id div $cmsWidth").as("r"),
