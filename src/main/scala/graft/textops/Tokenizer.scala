@@ -21,11 +21,25 @@ import org.apache.spark.sql.functions._
   * iterative-plan lesson as [[WebGraph.hostRank]] (a lazy loop re-codegens
   * the accumulated tree each round).
   *
-  * Production vocabularies run 30k-50k merges; at that count real trainers
-  * batch provably-disjoint merges per round or sample the vocabulary tail.
-  * This operator implements the exact one-merge-per-round algorithm (the
-  * form the sequential reference defines) with an early stop when the best
-  * pair drops below `minCount`.
+  * Production vocabularies run 30k-50k merges; one driver round per merge
+  * is 30k-50k sequential Spark jobs. Since r6 [[bpeTrain]] batches
+  * PROVABLY-EQUIVALENT merges per round: it collects the top-K pair
+  * counts, then selects the maximal sorted PREFIX of candidates that is
+  * pairwise symbol-disjoint, stopping the batch at the first candidate
+  * that (a) shares a symbol — including a previously CREATED merge symbol
+  * — with an earlier selection, (b) ties in count with ANY pair that
+  * shares a symbol with an earlier selection (a changed pair or a newly
+  * created pair could then tie it and win on the lexicographic
+  * tie-break), (c) falls at or below the top-K truncation boundary (its
+  * tie group may be incomplete), or (d) follows a selection whose created
+  * symbol already exists in the vocabulary (new occurrences of an
+  * existing symbol can INCREASE later pair counts past the single-pair
+  * bound). Within those guards each selected pair's count is exactly its
+  * count at its sequential step and nothing can outrank it, so batched ==
+  * one-merge-per-round merge-for-merge, count-for-count
+  * (TokenizerSpec pins it on adversarial overlapping/tied fixtures and
+  * randomized small-alphabet corpora). Early stop when the best pair
+  * drops below `minCount` is unchanged.
   *
   * Symbols are UTF-16 code-unit strings (`split(word, "")` on both the
   * distributed and local paths — identical by construction); tokenization
@@ -120,8 +134,21 @@ object Tokenizer {
     val merges = Seq.newBuilder[Merge]
     var ix = 0
     var done = false
+    // guard (d) needs the symbol inventory (a created symbol colliding
+    // with an existing one can increase later pair counts past the
+    // single-pair bound). Collected ONCE from the initial vocabulary
+    // (bounded: |alphabet| symbols) and maintained incrementally on the
+    // driver as a conservative SUPERSET — merges only ever ADD the created
+    // symbol; symbols that disappear from the vocabulary stay in the set,
+    // which can only stop a batch early (extra round), never mis-select.
+    var symbolSet = vocab
+      .select(explode(col("syms")).as("s"))
+      .distinct().as[String].collect().toSet
     while (ix < numMerges && !done) {
-      val best = vocab
+      // one pair-count table per ROUND, consumed by a single bounded
+      // TakeOrdered collect (the IVF quantizer-sample stance on
+      // driver-side data): K rows, each (l, r, c)
+      val counts = vocab
         // single-symbol words carry no pairs (and sequence(1, 0) would
         // flip DESCENDING — the domainEpochSample guard, applied as a
         // filter since these rows can never match a merge either)
@@ -132,43 +159,83 @@ object Tokenizer {
             element_at(col("syms"), i + 1).as("r")))).as("p"), col("n"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("n")).as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
-      else {
-        val (l, r, c) =
-          (best.head.getString(0), best.head.getString(1),
-            best.head.getLong(2))
-        merges += Merge(ix, l, r, c)
-        // row-local greedy leftmost rewrite: fold the symbol array through
-        // a (emitted, pending) accumulator — exactly applyMerge's loop
-        val rewritten = aggregate(
-          col("syms"),
-          struct(array().cast("array<string>").as("out"),
-            lit(null).cast("string").as("pend")),
-          (acc, x) => {
-            val out = acc.getField("out")
-            val pend = acc.getField("pend")
-            when(pend.isNull, struct(out.as("out"), x.as("pend")))
-              .when(pend === lit(l) && x === lit(r),
-                struct(array_append(out, lit(l + r)).as("out"),
-                  lit(null).cast("string").as("pend")))
-              .otherwise(struct(array_append(out, pend).as("out"),
-                x.as("pend")))
-          },
-          acc => when(acc.getField("pend").isNull, acc.getField("out"))
-            .otherwise(array_append(acc.getField("out"),
-              acc.getField("pend"))))
-        // no re-group after the rewrite: two vocab rows CAN converge to
-        // the same symbol sequence (e.g. an earlier (a,bc) merge and this
-        // round's (ab,c) both forming "abc"), but duplicate keys are
-        // harmless — pair counts are ADDITIVE over rows and the rewrite is
-        // per-row, so every subsequent round computes identical counts to
-        // the grouped local reference; checkpoint resets the round's
-        // lineage
-        vocab = vocab.select(rewritten.as("syms"), col("n"))
+      val (batch, roundDone) = {
+          val topK = math.max(64, 4 * (numMerges - ix))
+          val rows = counts
+            .orderBy(col("c").desc, col("l").asc, col("r").asc)
+            .limit(topK).collect()
+            .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+          // counts at or below the K-th row's count may be truncated
+          // mid-tie-group — candidates there are deferred to the next round
+          val cLow =
+            if (rows.length < topK) Long.MinValue else rows.last._3
+          val sel = Seq.newBuilder[Merge]
+          var used = Set.empty[String]
+          var selectedPairs = Set.empty[(String, String)]
+          var stop = false
+          var rdone = false
+          var i = 0
+          while (!stop && i < rows.length && ix < numMerges) {
+            val (l, r, c) = rows(i)
+            val created = l + r
+            if (c < minCount) { rdone = true; stop = true }
+            else if (c <= cLow && rows.length == topK) stop = true
+            else if (used.nonEmpty &&
+              (used(l) || used(r) || used(created))) stop = true
+            // guard (b): an UNSELECTED pair sharing a symbol with an
+            // earlier selection and tying this candidate's count could,
+            // after those merges, still tie it (changed pairs only ever
+            // decrease; new pairs are bounded by such sharers) and win the
+            // lexicographic tie-break — selected pairs themselves are
+            // exempt (two selected merges are provably symbol-disjoint,
+            // so no new-pair bound runs through them)
+            else if (used.nonEmpty && rows.exists { case (ol, or, oc) =>
+              oc == c && !selectedPairs((ol, or)) &&
+                (ol != l || or != r) && (used(ol) || used(or))
+            }) stop = true
+            else {
+              sel += Merge(ix, l, r, c)
+              ix += 1
+              used = used + l + r + created
+              selectedPairs = selectedPairs + ((l, r))
+              // guard (d): creating occurrences of an EXISTING symbol can
+              // raise pair counts past the single-pair bound — take the
+              // merge (it is still the exact argmax at its step) but end
+              // the batch here
+              if (symbolSet(created)) stop = true
+              symbolSet = symbolSet + created
+            }
+            i += 1
+          }
+          (sel.result(), rdone || (rows.isEmpty))
+      }
+      done = roundDone
+      if (batch.nonEmpty) {
+        merges ++= batch
+        // row-local greedy leftmost rewrite of the whole batch in learned
+        // order — LITERALLY applyMerge per rule, the sequential reference
+        // (batch merges are symbol-disjoint, so applying them in order
+        // equals applying each with a recount between: see scaladoc)
+        val rules = batch.map(m => (m.left, m.right))
+        vocab = vocab.as[(List[String], Long)]
+          .map { case (syms, n) =>
+            (rules.foldLeft(syms) { case (s, (l, r)) =>
+              applyMerge(s, l, r)
+            }, n)
+          }
+          // no re-group after the rewrite: two vocab rows CAN converge to
+          // the same symbol sequence (e.g. an earlier (a,bc) merge and a
+          // later (ab,c) both forming "abc"), but duplicate keys are
+          // harmless — pair counts are ADDITIVE over rows and the rewrite
+          // is per-row, so every subsequent round computes identical
+          // counts to the grouped local reference; checkpoint resets the
+          // round's lineage
+          .toDF("syms", "n")
           .localCheckpoint(true)
-        ix += 1
+      } else if (!done) {
+        // defensive: an empty batch with work remaining cannot make
+        // progress (first candidate is always selected when >= minCount)
+        done = true
       }
     }
     merges.result()

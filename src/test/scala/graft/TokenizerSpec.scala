@@ -59,6 +59,54 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m.toSeq == Seq(("z", "z", 2L)))
   }
 
+  test("batched bpeTrain == sequential on adversarial overlapping fixtures") {
+    import spark.implicits._
+    // each corpus is engineered at a batching stop-rule edge: overlapping
+    // candidate pairs, multi-way count ties, self-overlap chains (greedy
+    // leftmost), created-symbol collisions ((a,b) after "ab..." merges)
+    val corpora = Seq(
+      Seq("abab abab ab cd cd cd"), // overlap + disjoint mix
+      Seq("aaaa aaa aa a"), // self-overlap chain: (a,a) then (aa,aa)...
+      Seq("xy xy uv uv st st"), // 3-way exact tie, lexicographic order
+      Seq("abc abc bcd bcd cde cde"), // shared-symbol equal counts
+      Seq("ab ba ab ba aab abb"), // reversal pairs + chains
+      Seq("the thing threw three teeth", "he she the thee he he"),
+      Seq("abab cdcd abab cdcd ab cd")) // created symbols re-pair
+    corpora.zipWithIndex.foreach { case (texts, i) =>
+      val dist = Tokenizer.bpeTrain(texts.toDF("text"), "text", 8)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val local = Tokenizer.bpeTrainLocal(texts, 8)
+        .map(m => (m.ix, m.left, m.right, m.pairCount))
+      assert(dist == local, s"corpus $i: $texts")
+    }
+  }
+
+  test("batched bpeTrain == sequential on randomized tiny-alphabet corpora") {
+    import spark.implicits._
+    // tiny alphabets maximize count ties and created-symbol collisions —
+    // exactly the configurations the batch stop rules must catch; fixed
+    // seed keeps the sweep deterministic
+    val rnd = new scala.util.Random(42)
+    (0 until 8).foreach { t =>
+      val alphabet = if (t % 2 == 0) Seq("a", "b") else Seq("a", "b", "c")
+      val texts = (0 until 3).map { _ =>
+        (0 until (4 + rnd.nextInt(8))).map { _ =>
+          (0 until (1 + rnd.nextInt(6)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+        }.mkString(" ")
+      }
+      val dist = Tokenizer.bpeTrain(texts.toDF("text"), "text", 10)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val local = Tokenizer.bpeTrainLocal(texts, 10)
+        .map(m => (m.ix, m.left, m.right, m.pairCount))
+      assert(dist == local, s"seed-case $t: $texts")
+    }
+  }
+
   test("bpeApply: token counts shrink under merges, fingerprint stable") {
     import spark.implicits._
     val merges = Tokenizer.bpeTrainLocal(Tokenizer.fixtureCorpus, 12)
