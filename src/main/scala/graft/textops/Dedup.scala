@@ -675,20 +675,33 @@ object Dedup {
     val spark = scoredDocs.sparkSession
     import spark.implicits._
     val cc = graft.canon.Canon.connectedComponents(edges)
+    // r6: labeled feeds the argmax aggregate AND the keep join; the two
+    // consume it through DIFFERENT exchange children (partial-agg vs
+    // plain), so AQE stage reuse cannot share it and the score scan + CC
+    // join ran twice. The projection is NARROW (id, cluster, score — no
+    // text), so caching it is cheap; materialize the equally-narrow result
+    // and release the cache in finally.
     val labeled = scoredDocs
       .join(cc, scoredDocs("doc_id") === cc("v"), "left")
       .select(scoredDocs("doc_id"),
         coalesce($"component", scoredDocs("doc_id")).as("cluster"),
         scoredDocs("score"))
-    val best = labeled
-      .groupBy($"cluster")
-      .agg(max(struct($"score", (-$"doc_id").as("negId"))).as("b"))
-      .select($"cluster".as("bc"), (-$"b.negId").as("best_doc"))
-    // the best table is |clusters| rows — corpus-sized when singleton-heavy,
-    // tiny when duplication is heavy — so no broadcast hint: AQE decides
-    // from the measured size at runtime
-    labeled.join(best, $"cluster" === $"bc")
-      .select($"doc_id", $"cluster", ($"doc_id" === $"best_doc").as("keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val best = labeled
+        .groupBy($"cluster")
+        .agg(max(struct($"score", (-$"doc_id").as("negId"))).as("b"))
+        .select($"cluster".as("bc"), (-$"b.negId").as("best_doc"))
+      // the best table is |clusters| rows — corpus-sized when
+      // singleton-heavy, tiny when duplication is heavy — so no broadcast
+      // hint: AQE decides from the measured size at runtime
+      labeled.join(best, $"cluster" === $"bc")
+        .select($"doc_id", $"cluster", ($"doc_id" === $"best_doc").as("keep"))
+        .localCheckpoint(true)
+    } finally {
+      labeled.unpersist(false)
+      ()
+    }
   }
 
   /** 64-bit SimHash over whitespace tokens (tf-weighted). */

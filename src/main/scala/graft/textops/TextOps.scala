@@ -263,8 +263,18 @@ object TextOps {
   /** Contamination scan: for each document, the number of distinct n-gram
     * shingles it shares with the benchmark set (docs sharing ≥1 are
     * contaminated — the standard train/test-leakage check). The benchmark
-    * side is tiny by construction → broadcast join on exploded shingles;
-    * the corpus side stays a narrow explode + one aggregate.
+    * side is tiny by construction (a benchmark, not a corpus) → its
+    * shingle set ships as a plain closure broadcast and the per-doc
+    * shared-count is computed ROW-LOCALLY inside the scan stage.
+    *
+    * r6: the previous form exploded every document's distinct shingles to
+    * rows (corpus-token-sized materialization through the encoder),
+    * broadcast-joined them and re-aggregated by doc_id. Same result, but
+    * the explode/join/agg all operate on data whose only purpose is to be
+    * counted per doc — guide §2.3/§2.4: don't shuffle (or even
+    * materialize) bytes whose decision is row-local. Now: ZERO joins, ZERO
+    * shuffles, one narrow pass (warm 1.14 → 0.32 s at sf0.1). Same
+    * driver-memory contract as the broadcast join it replaces.
     */
   def contamination(
       docs: DataFrame,
@@ -274,17 +284,22 @@ object TextOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val docShingles = docs.select(col(idCol).as("doc_id"),
+    val benchSet: Set[String] = benchmark.select(col("text")).as[String]
+      .collect().iterator
+      .flatMap(t => Dedup.shingleStrings(t).iterator)
+      .toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    docs.select(col(idCol).as("doc_id"),
       col(textCol).as("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        Dedup.shingleStrings(t).distinct.map(g => (id, g))
-      }.toDF("doc_id", "g")
-    val benchShingles = benchmark.select(col("text")).as[String]
-      .flatMap(t => Dedup.shingleStrings(t).distinct)
-      .toDF("g").distinct()
-    docShingles.join(broadcast(benchShingles), "g")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+        val s = bc.value
+        var n = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        Dedup.shingleStrings(t).foreach { g =>
+          if (s.contains(g) && seen.add(g)) n += 1
+        }
+        if (n > 0) Iterator.single((id, n)) else Iterator.empty
+      }.toDF("doc_id", "n_shared")
   }
 
   // ---- repetition-based quality signals (Gopher-style) --------------------
