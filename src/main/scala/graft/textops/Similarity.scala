@@ -83,7 +83,17 @@ object Similarity {
         (b * 1315 + d).toLong)) - 0.5)
     }
 
-  def signBucket(emb: Seq[Float], planes: Array[Array[Double]]): Int = {
+  def signBucket(emb: Seq[Float], planes: Array[Array[Double]]): Int =
+    signBucketArr(toArr(emb), planes)
+
+  /** Primitive-array kernel of [[signBucket]] — the UDFs receive embeddings
+    * as Seq[Float] (WrappedArray), and every element access through that
+    * interface boxes; converting once per row keeps the nTables × nBits ×
+    * dim inner loop on primitive reads (r6: the bucket-assignment UDF was
+    * warm-time-bound on boxed accesses, ~66M per sf0.1 pass).
+    */
+  private[textops] def signBucketArr(
+      emb: Array[Float], planes: Array[Array[Double]]): Int = {
     var bucket = 0
     var b = 0
     while (b < planes.length) {
@@ -98,11 +108,18 @@ object Similarity {
     bucket
   }
 
+  private[textops] def toArr(emb: Seq[Float]): Array[Float] = emb match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other => other.toArray
+  }
+
   /** All table buckets for one vector: element t = (t << 24) | bucket_t, so
     * bucket keys never collide across tables.
     */
-  def signBuckets(emb: Seq[Float], tables: Array[Array[Array[Double]]]): Seq[Int] =
-    tables.indices.map(t => (t << 24) | signBucket(emb, tables(t)))
+  def signBuckets(emb: Seq[Float], tables: Array[Array[Array[Double]]]): Seq[Int] = {
+    val a = toArr(emb)
+    tables.indices.map(t => (t << 24) | signBucketArr(a, tables(t)))
+  }
 
   /** Multi-table LSH ANN: each vector lands in `nTables` sign buckets;
     * queries search the union of their buckets. Output
@@ -194,13 +211,17 @@ object Similarity {
       .limit(maxTrain)
       .as[(Long, Seq[Float])].collect()
       .sortBy(_._1)
+      // primitive arrays once — the Lloyd iterations below do
+      // iters × |sample| × nlist × dim element reads (r6: boxed Seq access
+      // in the inner loop)
+      .map { case (id, v) => (id, toArr(v)) }
     if (sample.isEmpty) return Array.empty // empty corpus → no quantizer
     var centroids = Array.tabulate(nlist) { k =>
       val idx = (Hashing.mix(0x1f5eedL, k.toLong) & Long.MaxValue) %
         sample.length
-      sample(idx.toInt)._2.map(_.toDouble).toArray
+      sample(idx.toInt)._2.map(_.toDouble)
     }
-    def nearest(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
       var best = 0
       var bestD = Double.MaxValue
       var k = 0
@@ -260,7 +281,9 @@ object Similarity {
       return (cells, probes)
     }
     val cents = spark.sparkContext.broadcast(trained)
-    def dist2(v: Seq[Float], c: Array[Double]): Double = {
+    // primitive-array distance kernel (r6: the assignment UDF reads
+    // nlist × dim elements per row — boxed Seq access dominated it)
+    def dist2(v: Array[Float], c: Array[Double]): Double = {
       var d = 0.0
       var i = 0
       val n = math.min(c.length, v.length)
@@ -268,19 +291,21 @@ object Similarity {
       d
     }
     val cellUdf = udf { (emb: Seq[Float]) =>
+      val a = toArr(emb)
       val cs = cents.value
       var best = 0; var bestD = Double.MaxValue
       var i = 0
       while (i < cs.length) {
-        val d = dist2(emb, cs(i))
+        val d = dist2(a, cs(i))
         if (d < bestD) { bestD = d; best = i }
         i += 1
       }
       best
     }
     val probeUdf = udf { (emb: Seq[Float]) =>
+      val a = toArr(emb)
       cents.value.indices
-        .map(i => (dist2(emb, cents.value(i)), i))
+        .map(i => (dist2(a, cents.value(i)), i))
         .sorted.take(nprobe).map(_._2)
     }
     val cells = embeddings
