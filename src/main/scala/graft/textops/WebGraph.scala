@@ -91,6 +91,9 @@ object WebGraph {
     // edge-sized stages at 3 iterations; linear in iteration count at
     // convergence-level counts). The degree join is computed once and each
     // power step reads the cached (src, dst, deg) table directly.
+    // Memory: both caches are MEMORY_AND_DISK (spill, not OOM); at
+    // production scale drop the raw `edges` cache once withDeg and nodes
+    // have materialized — here both live only for the call.
     val withDeg = {
       val outdeg = edges.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
