@@ -191,25 +191,34 @@ object SparkEntry {
           sum(cents(col("c_acctbal"))).as("acctbal_cents"))
     }),
     // ---- A1: per-group latest value (group + argmax by recency) ----
+    // r6: struct-max partial aggregate instead of the row_number window —
+    // the window sorted and buffered every (possibly unbounded) customer
+    // group per task; max(struct(date, orderkey, price)) is algebraic, so
+    // hot customers combine map-side before the shuffle (guide §2.3
+    // "aggregate before you shuffle"; the clusterCanonicalBest argmax
+    // shape). Tie order preserved: max struct = max date, then max
+    // orderkey (o_orderkey is unique per customer, so the carried price is
+    // never compared). Result identical to rn=1.
     "a1_group_latest" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("b"))
         .select(col("o_custkey"),
-          cents(col("o_totalprice")).as("latest_price_cents"))
+          cents(col("b.o_totalprice")).as("latest_price_cents"))
     }),
     // ---- A3: max-prob dedup (argmax per key with tie-break) ----
+    // r6: same window → struct-max rewrite (see a1). Ordering was
+    // (price DESC, linenumber ASC): max(struct(price, -linenumber)) picks
+    // max price, tie → max(-linenumber) = MIN linenumber — identical row.
     "a3_argmax_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("l_orderkey"))
+        .agg(max(struct(col("l_extendedprice"),
+          (-col("l_linenumber")).as("negLine"))).as("b"))
         .select(col("l_orderkey"),
-          cents(col("l_extendedprice")).as("max_price_cents"),
-          col("l_linenumber"))
+          cents(col("b.l_extendedprice")).as("max_price_cents"),
+          (-col("b.negLine")).as("l_linenumber"))
     }),
     // ---- A4: frequency count ----
     "a4_freq_count" -> ((s, dir) => {
@@ -317,16 +326,20 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
     }),
     // ---- A13: mode (deterministic tie-break, not engine-dependent mode()) --
+    // r6: second-level struct-MIN aggregate instead of the per-bucket
+    // window (see a1): min(struct(-c, event_type)) = max count, tie → MIN
+    // event_type — the window's (c DESC, event_type ASC) order exactly;
+    // (bucket, event_type) is unique so the carried count never compares.
     "a13_mode" -> ((s, dir) => {
-      val counts = t(s, dir, "events")
+      t(s, dir, "events")
         .withColumn("bucket", col("user_id") % 100)
         .groupBy(col("bucket"), col("event_type"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("bucket"))
-        .orderBy(col("c").desc, col("event_type").asc)
-      counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("bucket"), col("event_type").as("mode_type"), col("c"))
+        .groupBy(col("bucket"))
+        .agg(min(struct((-col("c")).as("negC"), col("event_type"),
+          col("c"))).as("b"))
+        .select(col("bucket"), col("b.event_type").as("mode_type"),
+          col("b.c").as("c"))
     }),
     // ---- W2: offset ids ----
     "w2_offset_ids" -> ((s, dir) => {
@@ -764,29 +777,36 @@ object SparkEntry {
     // between steps (the snapshot pattern KgRunner uses) rather than
     // re-deriving the lineage as this single-query demo does ----
     "tq_corpus_prep" -> ((s, dir) => {
+      // r6: the verdict pass now CARRIES text+source onto its output rows
+      // (qualityFilterPipeline keepText/carryCol) and the chunk explode
+      // carries source per chunk — the r5 form re-joined the base table
+      // twice to recover them (guide §8 "audit how the proxy's decisions
+      // get re-attached"): 3 base scans + 3 joins → 1 scan + 1 join (the
+      // fingerprint keep-list join, the only decision that genuinely needs
+      // corpus-wide state). A persist-based variant was also tried and
+      // measured SLOWER (text cache encode > post-shuffle re-execution) —
+      // this form removes the recompute structurally instead of caching it.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("source"))
-      val verdicts = graft.textops.TextOps.qualityFilterPipeline(
+      val kept1 = graft.textops.TextOps.qualityFilterPipeline(
         docs, "doc_id", "text", blockedDomains = urlBlocklist,
-        allowedLangs = Seq("en"))
-      // r6 NOTE (measured, kept as-is): kept1 textually feeds three
-      // consumers, but its expensive verdict subtree sits under identical
-      // doc_id exchanges in every branch, so AQE query-stage reuse already
-      // computes it once — persisting kept1 + eagerly checkpointing the
-      // final aggregate was MEASURED SLOWER at sf0.1 (warm 2.90 → 3.19 s:
-      // the columnar cache encode of the text column costs more than the
-      // post-shuffle join re-execution it saves) and was reverted.
-      val kept1 = docs.join(
-        verdicts.filter(col("verdict") === "keep").select(col("doc_id")),
-        Seq("doc_id"))
+        allowedLangs = Seq("en"), keepText = true, carryCol = Some("source"))
+        .filter(col("verdict") === "keep")
+        .select(col("doc_id"), col("text"), col("source"))
+        // materialized ONCE: kept1's two consumers reach it through
+        // different exchanges (fingerprint agg vs doc_id join), so without
+        // this the expensive verdict map would run twice — in the r5 shape
+        // the re-join's identical exchanges were, accidentally, the shared
+        // materialization point
+        .localCheckpoint(true)
       val keepIds = kept1
         .groupBy(graft.textops.TextOps.fingerprint(col("text")).as("f"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val kept2 = kept1.join(keepIds, Seq("doc_id"))
       val chunks = graft.textops.TextOps
-        .chunkDocuments(kept2, "doc_id", "text", 64, 16)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .chunkDocuments(kept2, "doc_id", "text", 64, 16,
+          carryCols = Seq("source"))
       val cw = chunks.select(
         graft.textops.TextOps.packedChunkId(col("doc_id"), col("chunk_ix"))
           .as("cid"),

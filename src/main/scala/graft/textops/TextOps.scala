@@ -744,22 +744,35 @@ object TextOps {
       minQualityX1e6: Long = 660000L,
       maxDupLineX1e6: Long = 300000L,
       maxTop2X1e6: Long = 200000L,
-      maxTop3X1e6: Long = 180000L): DataFrame = {
+      maxTop3X1e6: Long = 180000L,
+      keepText: Boolean = false,
+      carryCol: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // repetition signals need per-doc hash maps → one typed map, carrying
-    // the text through so the column signals stack on the same scan
+    // the text through so the column signals stack on the same scan.
+    // r6: `keepText`/`carryCol` let a COMPOSING pipeline (tq_corpus_prep)
+    // keep the text and one payload column on the verdict rows instead of
+    // re-joining the base table afterwards — the guide-§8 "attach without
+    // the join sneaking the shuffle back in" rule; the default path emits
+    // exactly the r5 columns (one constant empty carry rides the map,
+    // dropped at the final select).
+    val carryExpr = carryCol.map(c => col(c).cast("string"))
+      .getOrElse(lit(""))
     val withRep = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        carryExpr.as("carry"))
+      .as[(Long, String, String)]
+      .map { case (id, t, cy) =>
         val (d, g2, g3) = repetitionSignals(t)
-        (id, t, d, g2, g3)
+        (id, t, cy, d, g2, g3)
       }
-      .toDF("doc_id", "text", "dup_line_frac_x1e6", "top2_frac_x1e6",
-        "top3_frac_x1e6")
+      .toDF("doc_id", "text", "carry", "dup_line_frac_x1e6",
+        "top2_frac_x1e6", "top3_frac_x1e6")
     val t = coalesce(col("text"), lit(""))
     val words = filter(split(t, " +", -1), w => length(w) > 0)
+    val extraCols = (if (keepText) Seq(col("text")) else Nil) ++
+      carryCol.map(c => col("carry").as(c)).toSeq
     withRep
       .withColumn("lang", langIdCol(col("text")))
       .withColumn("n_words", size(words).cast("long"))
@@ -767,7 +780,7 @@ object TextOps {
       .withColumn("n_blocked",
         size(filter(urlHosts(col("text")),
           h => h.isInCollection(blockedDomains))).cast("long"))
-      .select(col("doc_id"), col("lang"), col("n_words"),
+      .select(Seq(col("doc_id"), col("lang"), col("n_words"),
         col("quality_x1e6"), col("dup_line_frac_x1e6"),
         col("top2_frac_x1e6"), col("top3_frac_x1e6"), col("n_blocked"),
         when(!col("lang").isInCollection(allowedLangs), "drop:lang")
@@ -778,7 +791,7 @@ object TextOps {
             col("top2_frac_x1e6") > maxTop2X1e6 ||
             col("top3_frac_x1e6") > maxTop3X1e6, "drop:repetition")
           .when(col("n_blocked") > 0, "drop:blocklist")
-          .otherwise("keep").as("verdict"))
+          .otherwise("keep").as("verdict")) ++ extraCols: _*)
   }
 
   /** The DuckDB mirror of [[qualityFilterPipeline]], composed from the SAME
@@ -1012,16 +1025,20 @@ object TextOps {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 512,
-      overlapTokens: Int = 64): DataFrame = {
+      overlapTokens: Int = 64,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > overlapTokens && overlapTokens >= 0,
       "chunkDocuments requires chunkTokens > overlapTokens >= 0")
     val step = chunkTokens - overlapTokens
+    // r6: carryCols ride the row-local explode (per-doc payload columns
+    // repeated onto each chunk) so a composing pipeline needn't re-join
+    // the base table to recover them; default Nil = the r5 plan exactly
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Seq(col(idCol).cast("long").as("doc_id"),
         filter(split(coalesce(col(textCol), lit("")), " +", -1),
-          w => length(w) > 0).as("w"))
+          w => length(w) > 0).as("w")) ++ carryCols.map(col): _*)
       .filter(size(col("w")) > 0)
-      .select(col("doc_id"), expr(
+      .select(Seq(col("doc_id"), expr(
         s"""explode(transform(
            |  sequence(0, CASE WHEN size(w) <= $chunkTokens THEN 0
            |    ELSE (size(w) - $chunkTokens + $step - 1) div $step END),
@@ -1029,9 +1046,10 @@ object TextOps {
            |    CAST(size(slice(w, i * $step + 1, $chunkTokens)) AS BIGINT)
            |      AS n_tokens,
            |    array_join(slice(w, i * $step + 1, $chunkTokens), ' ')
-           |      AS chunk_text)))""".stripMargin).as("c"))
-      .select(col("doc_id"), col("c.chunk_ix"), col("c.n_tokens"),
-        col("c.chunk_text"))
+           |      AS chunk_text)))""".stripMargin).as("c")) ++
+        carryCols.map(col): _*)
+      .select(Seq(col("doc_id"), col("c.chunk_ix"), col("c.n_tokens"),
+        col("c.chunk_text")) ++ carryCols.map(col): _*)
   }
 
   /** Collision-free packed chunk id — 20-bit shift, so a document can

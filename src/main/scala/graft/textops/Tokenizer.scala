@@ -321,13 +321,32 @@ object Tokenizer {
       docs: DataFrame, textCol: String, n: Int,
       minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val words = TextOps.tokenArray(col(textCol))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // r6: one typed flatMap instead of explode(transform(sequence …,
+    // concat_ws(slice))) — higher-order functions are interpreted (the
+    // langIdCol lesson) and the per-gram `slice` allocated a fresh array
+    // per window; the flatMap emits each gram through one StringBuilder
+    // walk. Tokenization is [[wordsOf]] — the declared plain-Scala
+    // equivalent of [[TextOps.tokenArray]] (the bpeTrain ==
+    // bpeTrainLocal contract rides the same equivalence), and the DuckDB
+    // mirror below is unchanged, so the oracle still checks the pair.
     docs
-      .select(words.as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(explode(transform(
-        sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("gram"))
+      .select(coalesce(col(textCol), lit("")).as("t")).as[String]
+      .flatMap { t =>
+        val ws = wordsOf(t)
+        if (ws.length < n) Iterator.empty
+        else {
+          val arr = ws.toArray
+          (0 to arr.length - n).iterator.map { i =>
+            val sb = new StringBuilder(arr(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(arr(j)); j += 1 }
+            sb.result()
+          }
+        }
+      }
+      .toDF("gram")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minCount)
