@@ -379,29 +379,61 @@ object WebGraph {
         .distinct().persist()
       var hub = nodes.select(col("host"), lit(hitsScale).as("s"))
       var auth: DataFrame = null
-      for (_ <- 1 to iterations) {
-        val ar = edges.join(hub, col("src") === col("host"))
-          .groupBy(col("dst")).agg(sum(col("s")).as("raw"))
-        val am = ar.agg(max(col("raw")).as("mx"))
-        // auth stays LAZY: only hub is checkpointed per round, so each
-        // round is ONE materialized tree (ar→a→hr→h) instead of two —
-        // halves the per-round job/codegen count (cold 21.7 s → 13.6 s at
-        // sf0.1); the final output recomputes the last auth once from the
-        // checkpointed hub, which is a single join+agg
-        auth = ar.crossJoin(broadcast(am))
-          .select(col("dst"),
-            expr(s"raw div greatest(mx div $hitsScale, CAST(1 AS BIGINT))")
-              .as("s"))
-        val hr = edgesByDst
-          .join(auth.withColumnRenamed("dst", "adst"),
-            col("dst") === col("adst"))
-          .groupBy(col("src")).agg(sum(col("s")).as("raw"))
-        val hm = hr.agg(max(col("raw")).as("mx"))
-        hub = hr.crossJoin(broadcast(hm))
-          .select(col("src").as("host"),
-            expr(s"raw div greatest(mx div $hitsScale, CAST(1 AS BIGINT))")
-              .as("s"))
+      // r6: each half-step's RAW table is checkpointed with its maximum
+      // collected as an OBSERVED metric during that same materialization
+      // (the Canon convergence-read pattern — zero extra jobs); the
+      // normalization is then a lazy projection over the checkpoint with
+      // the divisor as a LITERAL. The r5 form computed the max as a
+      // broadcast scalar (crossJoin(broadcast(agg))) — an extra stage set
+      // per half-step, plus the post-shuffle half-step aggregate executed
+      // twice (once under the broadcast, once under the join; stage reuse
+      // shares only the exchange). Same integer math, same divisors, same
+      // scores (warm 2.31 → 1.26 s at sf0.1 for the 3-iteration query).
+      def rawMax(df: DataFrame): (DataFrame, Long) = {
+        val spark = df.sparkSession
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, max(col("raw")).as("mx"))
           .localCheckpoint(true)
+        def read(): Option[Long] = {
+          val m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+          if (m.isEmpty) None
+          else Some(m.get("mx").map {
+            case null => 0L
+            case v => v.asInstanceOf[Long]
+          }.getOrElse(0L))
+        }
+        var mx = read()
+        if (mx.isEmpty) {
+          val deadline = System.nanoTime() + 2000000000L
+          while (mx.isEmpty && System.nanoTime() < deadline) {
+            org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+            mx = read()
+            if (mx.isEmpty) Thread.sleep(20)
+          }
+        }
+        // fallback: one cheap agg over the checkpointed table (metric lost
+        // to a slow listener bus — same stance as Canon's diff-join)
+        val m = mx.getOrElse {
+          val row = ck.agg(max(col("raw"))).first()
+          if (row.isNullAt(0)) 0L else row.getLong(0)
+        }
+        (ck, m)
+      }
+      for (_ <- 1 to iterations) {
+        val (ar, amx) = rawMax(
+          edges.join(hub, col("src") === col("host"))
+            .groupBy(col("dst")).agg(sum(col("s")).as("raw")))
+        val aDiv = math.max(amx / hitsScale, 1L)
+        auth = ar.select(col("dst"),
+          expr(s"raw div CAST($aDiv AS BIGINT)").as("s"))
+        val (hr, hmx) = rawMax(
+          edgesByDst
+            .join(auth.withColumnRenamed("dst", "adst"),
+              col("dst") === col("adst"))
+            .groupBy(col("src")).agg(sum(col("s")).as("raw")))
+        val hDiv = math.max(hmx / hitsScale, 1L)
+        hub = hr.select(col("src").as("host"),
+          expr(s"raw div CAST($hDiv AS BIGINT)").as("s"))
       }
       val out = nodes
         .join(hub.withColumnRenamed("s", "hub_x2p20"), Seq("host"), "left")
