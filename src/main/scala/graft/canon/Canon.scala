@@ -94,11 +94,17 @@ object Canon {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // symmetrize + dedup once; self-loops dropped
+    // symmetrize + dedup once; self-loops dropped. r6: partitioned by dst
+    // ONCE at persist — every iteration's propagate step joins e on dst,
+    // and the distinct's (src, dst) partitioning satisfied none of those
+    // joins, so the edge set re-shuffled by dst each round (the
+    // WebGraph.hits lesson); one setup exchange now replaces an
+    // edge-sized exchange per iteration.
     var e = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
+      .repartition($"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // labels: v -> current candidate component (min over seen neighbors)
