@@ -27,7 +27,12 @@ object Dedup {
   final val RowsPerBand = NumHashes / Bands // 8
   final val MaxBucket = 50 // cap candidate fan-out per bucket
 
-  /** Word n-gram shingles, hashed to 64-bit. */
+  /** Word n-gram shingles, hashed to 64-bit. r6: the n-word windows are
+    * hashed by streaming each window's chars (words joined by one space)
+    * straight through the fnv1a64 fold — no per-shingle mkString/sliding
+    * allocation; value-identical to fnv1a64(window.mkString(" ")), pinned
+    * by PropertySpec against [[shingleStrings]].
+    */
   def shingles(text: String, n: Int = 3): Array[Long] = {
     if (text == null) return Array.empty
     val words = text.split(" +").filter(_.nonEmpty)
@@ -35,7 +40,30 @@ object Dedup {
       if (words.isEmpty) Array.empty
       else Array(Hashing.fnv1a64(words.mkString(" ")))
     } else {
-      words.sliding(n).map(w => Hashing.fnv1a64(w.mkString(" "))).toArray
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        var h = Hashing.FnvOffset
+        var j = i
+        while (j < i + n) {
+          if (j > i) { // the ' ' joiner, folded as its two UTF-16 bytes
+            h ^= 0x20L; h *= Hashing.FnvPrime
+            h *= Hashing.FnvPrime // high byte 0: h ^= 0 is a no-op
+          }
+          val w = words(j)
+          var k = 0
+          while (k < w.length) {
+            val c = w.charAt(k)
+            h ^= (c & 0xff).toLong; h *= Hashing.FnvPrime
+            h ^= ((c >> 8) & 0xff).toLong; h *= Hashing.FnvPrime
+            k += 1
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      out
     }
   }
 
@@ -54,15 +82,24 @@ object Dedup {
     }
   }
 
+  /** mix(s, h) = mix(s ^ mix(h)) — the inner mix(h) depends only on the
+    * permutation index, so the 128 values are precomputed once (r6: halves
+    * the dominant per-(shingle, permutation) work of the signature kernel;
+    * value-identical by [[Hashing.mix]]'s own definition).
+    */
+  private val permSeed: Array[Long] =
+    Array.tabulate(NumHashes)(h => Hashing.mix(h.toLong))
+
   /** MinHash signature: NumHashes permutations via splitmix64 re-mix. */
   def minhashSignature(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val seeds = permSeed
     var i = 0
     while (i < sh.length) {
       val s = sh(i)
       var h = 0
       while (h < NumHashes) {
-        val v = Hashing.mix(s, h.toLong)
+        val v = Hashing.mix(s ^ seeds(h))
         if (v < sig(h)) sig(h) = v
         h += 1
       }

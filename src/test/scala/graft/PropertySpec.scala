@@ -114,6 +114,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streamed shingle hashing == fnv1a64 of the joined string windows") {
+    // r6: shingles() folds window chars straight through fnv1a64 (no
+    // per-shingle mkString); this pins value-identity with the retained
+    // string path, incl. unicode words, repeated spaces, and < n words
+    import graft.textops.Dedup
+    val wordGen = Gen.oneOf("a", "bc", "word", "高血压", "x1", "ünïc", "zz")
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+      sep <- Gen.oneOf(" ", "  ", "   ")
+    } yield ws.mkString(sep)
+    forAll(docGen) { d =>
+      val streamed = Dedup.shingles(d).toSeq
+      val viaStrings = Dedup.shingleStrings(d)
+        .map(graft.util.Hashing.fnv1a64(_)).toSeq
+      assert(streamed == viaStrings, s"doc: '$d'")
+    }
+  }
+
   test("minhash est_sim is within 0.2 of exact jaccard (128 hashes)") {
     import graft.textops.Dedup
     val docGen = for {
