@@ -107,6 +107,14 @@ object Canon {
       .repartition($"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // r6 NOTE (measured, not kept): an isEmpty fast path for edge-free
+    // graphs was tried and REVERTED — the probe executes the caller's
+    // edge-derivation aggregation up to its first row, which on the
+    // non-empty graphs every real caller has is most of the edge cost
+    // paid twice (dedup_cluster_pick warm 0.87 → 0.99 s, +0.7 MB
+    // shuffle). The two no-op iterations an edge-free graph pays are
+    // cheaper than probing for it.
+
     // labels: v -> current candidate component (min over seen neighbors)
     var labels = e.select($"src".as("v")).distinct()
       .withColumn("label", $"v")

@@ -753,7 +753,8 @@ object Dedup {
       val h = Hashing.fnv1a64(w)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += tf else acc(b) -= tf
+        // branchless ±tf: bit 1 → +tf, bit 0 → -tf (identical sums)
+        acc(b) += (((h >>> b) & 1L).toInt * 2 - 1) * tf
         b += 1
       }
     }
