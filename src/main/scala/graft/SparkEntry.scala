@@ -485,8 +485,11 @@ object SparkEntry {
     // the driver's pandas-based checker cannot hash ndarray cells (the
     // mm_features digest lesson), and the consumer oracle rebuilds the
     // array with one list(val ORDER BY pos) GROUP BY id CTE.
+    // r6: sig-only signature pass (minhashSigOnlyDf) — the dumped layout
+    // never carried shingles, but the 3-column form encoded the shingle
+    // array through the typed encoder just to drop it here
     "dedup_minhash_sigs" -> ((s, dir) => {
-      graft.textops.Dedup.minhashSigsDf(
+      graft.textops.Dedup.minhashSigOnlyDf(
         withNearDupes(s, t(s, dir, "documents")), "doc_id", "text")
         .select(col("id"), posexplode(col("sig")).as(Seq("pos", "val")))
     }),
@@ -499,7 +502,7 @@ object SparkEntry {
     "dedup_minhash_sig_parity" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val twins = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
-      graft.textops.Dedup.minhashSigsDf(
+      graft.textops.Dedup.minhashSigOnlyDf(
         docs.unionByName(twins), "doc_id", "text")
         .select((col("id") % 10000000L).as("id"),
           xxhash64(col("sig").cast("string")).as("h"))

@@ -243,6 +243,22 @@ object Dedup {
       .toDF("id", "sig", "shingles")
   }
 
+  /** (id, sig[128]) — [[minhashSigsDf]] minus the shingle column, for
+    * consumers that need only signatures (the sig dump, sig-parity): column
+    * pruning cannot reach inside a typed map, so the 3-column form encodes
+    * the corpus-token-sized shingle array just to drop it (r6). Same
+    * [[minhashSignature]] ∘ [[shingles]] values by construction.
+    */
+  def minhashSigOnlyDf(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, minhashSignature(shingles(text))) }
+      .toDF("id", "sig")
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -645,20 +661,41 @@ object Dedup {
     * the rare-feature count, then one groupBy(pair) — never all-pairs, and
     * ubiquitous shingles (df > 2) drop out before the pair stage, so no hot
     * keys reach the second shuffle.
+    *
+    * r6 (`hashShingles=true`, the [[exactSubstrDedup]] hashGrams stance):
+    * the inverted index is keyed on [[shingles]]' streamed fnv1a64 hashes
+    * instead of the shingle strings — the exploded rows and both shuffles
+    * carry an 8-byte long where the string form carries the n-word window
+    * text, and the flatMap never materializes the window string at all
+    * (guide §2.3 "shuffle keys instead of payloads"). Identical edges as
+    * long as fnv1a64 is injective on the corpus's shingle set: a collision
+    * could only MERGE two df=1 shingles into a phantom df=2 edge (or knock
+    * a real df=2 shingle out via df=3), which flips a cluster label and
+    * turns the cluster oracles red — observable, with even odds needing
+    * ~2^32 distinct shingles (birthday bound), far above any per-corpus
+    * shingle count this engine caps buckets for. The string path is kept
+    * for direct SQL-recomputability.
     */
   def sharedRareShingleEdges(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minShared: Int = 2
+      minShared: Int = 2,
+      hashShingles: Boolean = true
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val expl = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .flatMap { case (id, txt) =>
-        shingleStrings(txt).distinct.map(g => (id, g))
-      }.toDF("id", "g")
+    val expl =
+      if (hashShingles)
+        base.flatMap { case (id, txt) =>
+          shingles(txt).distinct.map(g => (id, g))
+        }.toDF("id", "g")
+      else
+        base.flatMap { case (id, txt) =>
+          shingleStrings(txt).distinct.map(g => (id, g))
+        }.toDF("id", "g")
     expl.groupBy($"g")
       .agg(min($"id").as("src"), max($"id").as("dst"),
         count(lit(1)).as("df"))

@@ -59,6 +59,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"single shared shingle must not link: $edges")
   }
 
+  test("sharedRareShingleEdges: hashed-key path == string-key path on a real corpus") {
+    // r6: the inverted index shuffles fnv1a64 shingle hashes instead of the
+    // window strings. Injectivity of the hash on the observed shingle set
+    // makes the edge sets identical — pin it on real sf0.001 documents plus
+    // the sub-n/empty/multi-space edge shapes.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val weird = Seq(
+      (9000001L, ""), (9000002L, "one two"), (9000003L, "one  two"),
+      (9000004L, "   "), (9000005L, "a b c a b c a b c")
+    ).toDF("doc_id", "text")
+    val docs = real.unionByName(weird)
+    val hashed = Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2,
+      hashShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strings = Dedup.sharedRareShingleEdges(docs, "doc_id", "text", 2,
+      hashShingles = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashed == strings,
+      s"edge mismatch: only-hashed=${hashed.diff(strings)} only-string=${strings.diff(hashed)}")
+    assert(hashed.nonEmpty, "fixture must produce at least one edge")
+  }
+
   test("md5Bucket: deterministic, in [0,100), engine-stable value") {
     val df = Seq(7L, 7L, 42L).toDF("k")
       .select(col("k"), TextOps.md5Bucket(col("k")).as("b"))
