@@ -1032,7 +1032,11 @@ object TextOps {
     val step = chunkTokens - overlapTokens
     // r6: carryCols ride the row-local explode (per-doc payload columns
     // repeated onto each chunk) so a composing pipeline needn't re-join
-    // the base table to recover them; default Nil = the r5 plan exactly
+    // the base table to recover them; default Nil = the r5 plan exactly.
+    // n_tokens = least(chunkTokens, size(w) - i*step) — arithmetic identity
+    // of size(slice(w, i*step+1, chunkTokens)) over the sequence's i range
+    // (the bound guarantees i*step < size(w)), saving one slice allocation
+    // per chunk in the interpreted transform
     docs
       .select(Seq(col(idCol).cast("long").as("doc_id"),
         filter(split(coalesce(col(textCol), lit("")), " +", -1),
@@ -1043,7 +1047,7 @@ object TextOps {
            |  sequence(0, CASE WHEN size(w) <= $chunkTokens THEN 0
            |    ELSE (size(w) - $chunkTokens + $step - 1) div $step END),
            |  i -> struct(CAST(i AS INT) AS chunk_ix,
-           |    CAST(size(slice(w, i * $step + 1, $chunkTokens)) AS BIGINT)
+           |    CAST(least($chunkTokens, size(w) - i * $step) AS BIGINT)
            |      AS n_tokens,
            |    array_join(slice(w, i * $step + 1, $chunkTokens), ' ')
            |      AS chunk_text)))""".stripMargin).as("c")) ++
